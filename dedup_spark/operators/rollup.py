@@ -1,0 +1,115 @@
+"""Hierarchical prefix rollup + dup-dir detection + subsumption
+(SURVEY.md §2 B24/B25) — the Spark restatement of the reference's bottom-up
+directory digest recursion and child-report suppression.
+
+dir_digest(d) = sha256(concat of SORTED digests of d's immediate children)
+where a file child contributes its content digest and a dir child its own
+dir digest — name-agnostic, so relocated-but-identical trees match, exactly
+like the reference's content-based directory matching.
+
+The bottom-up recursion becomes ≤ max_depth sequential groupBy jobs (each one
+shuffle on the parent prefix); max_depth is tiny (path depth), so this is a
+constant number of stages regardless of row count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _parent(col: str):
+    # 'a/b/c' → 'a/b'; top-level ('a') → '' (dropped by callers)
+    return F.when(
+        F.instr(F.col(col), "/") > 0,
+        F.expr(f"substring({col}, 1, length({col}) - length(substring_index({col}, '/', -1)) - 1)"),
+    ).otherwise(F.lit(""))
+
+
+def dir_digests(sigs: DataFrame) -> DataFrame:
+    """sigs(image_id, sha256, depth) → (dir, level, dir_digest) for every
+    prefix directory, computed level-by-level from the deepest up."""
+    entries = sigs.select(
+        _parent("image_id").alias("dir"), F.col("sha256").alias("digest")
+    ).where(F.col("dir") != "")
+    entries = entries.withColumn("level", F.size(F.split("dir", "/")))
+
+    max_level = entries.agg(F.max("level")).collect()[0][0] or 0
+    out: DataFrame | None = None
+    for lvl in range(max_level, 0, -1):
+        cur = entries.where(F.col("level") == lvl)
+        rest = entries.where(F.col("level") != lvl)
+        dirs = cur.groupBy("dir").agg(
+            F.sha2(
+                F.concat_ws("", F.sort_array(F.collect_list("digest"))), 256
+            ).alias("dir_digest")
+        )
+        lv = dirs.withColumn("level", F.lit(lvl))
+        out = lv if out is None else out.unionByName(lv)
+        if lvl > 1:
+            up = dirs.select(
+                _parent("dir").alias("dir"), F.col("dir_digest").alias("digest")
+            ).where(F.col("dir") != "")
+            up = up.withColumn("level", F.size(F.split("dir", "/")))
+            entries = rest.unionByName(up)
+        # materialize per level: the loop is driver-side and short (≤ depth),
+        # and each level's plan would otherwise nest the previous shuffles
+        entries = entries.localCheckpoint() if lvl > 1 else entries
+    if out is None:
+        return sigs.sparkSession.createDataFrame(
+            [], "dir string, dir_digest string, level int"
+        )
+    return out.select("dir", "dir_digest", "level")
+
+
+def _ancestors(col: str):
+    """Array of proper ancestor prefixes of a path column."""
+    return F.expr(
+        f"transform(sequence(1, size(split({col}, '/')) - 1),"
+        f" i -> array_join(slice(split({col}, '/'), 1, i), '/'))"
+    )
+
+
+def dup_dirs(dirs: DataFrame) -> DataFrame:
+    """Dup prefix-groups (>1 dir with equal digest), outermost only (B25).
+
+    A dup dir with a dup-dir ancestor is subsumed — the reference reports
+    only the outermost duplicated directory of a nested chain.
+    """
+    grouped = dirs.join(
+        dirs.groupBy("dir_digest").agg(F.count("*").alias("n_dirs")).where("n_dirs > 1"),
+        "dir_digest",
+    )
+    anc = grouped.select(
+        "dir", "dir_digest", F.explode(_ancestors("dir")).alias("anc")
+    )
+    sub = anc.join(
+        grouped.select(F.col("dir").alias("anc")).distinct(), "anc", "left_semi"
+    ).select("dir").distinct()
+    outermost = grouped.join(sub, "dir", "left_anti")
+    # a group stays reportable only while ≥2 outermost members remain
+    sizes = outermost.groupBy("dir_digest").agg(F.count("*").alias("n_out"))
+    return (
+        outermost.join(sizes.where("n_out > 1"), "dir_digest")
+        .select("dir", "dir_digest", "level")
+    )
+
+
+def suppressed_members(sigs: DataFrame, dup_dirs_df: DataFrame) -> DataFrame:
+    """image_ids under any dup dir (their file-level reports are subsumed).
+
+    Uses ALL dup dirs (incl. nested ones' ancestors) via the outermost set:
+    membership under an outermost dup dir covers the nested ones too.
+    """
+    anc = sigs.select(
+        "image_id", F.explode(_ancestors("image_id")).alias("anc")
+    )
+    return (
+        anc.join(
+            dup_dirs_df.select(F.col("dir").alias("anc")).distinct(),
+            "anc",
+            "left_semi",
+        )
+        .select("image_id")
+        .distinct()
+    )

