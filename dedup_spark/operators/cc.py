@@ -57,7 +57,7 @@ def _small_star(edges: DataFrame) -> DataFrame:
 def _fingerprint(edges: DataFrame) -> tuple:
     row = edges.agg(
         F.count("*").alias("n"),
-        F.sum(F.xxhash64("a", "b")).alias("h"),
+        F.expr("bit_xor(xxhash64(a, b))").alias("h"),  # xor: no ANSI overflow
     ).collect()[0]
     return (row["n"], row["h"])
 

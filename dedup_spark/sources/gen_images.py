@@ -189,14 +189,26 @@ def row_for_id(rid: int, seed: int) -> dict:
             toks[pos] = str(_VOCAB[int(rr.integers(0, len(_VOCAB)))]) + "q"
         px = _base_pixels(seed, b, 610)
         return _finish(iid, px, "rgb8", " ".join(toks))
-    if s == 62:  # image decoy: heavy noise on slot 11 (phash hamming >> 6)
+    if s == 62:  # image decoy: 50/50 structural blend with an unrelated
+        # pattern — pHash is invariant to high-amplitude *uniform* noise (it
+        # averages out in the low-freq DCT), so a true near-miss must differ
+        # in low-frequency structure (Hamming lands ~12-20, outside ≤6)
         r = base(11)
+        side = r["pixels"].shape[0]
+        rr = _rng(seed, f"d62:{b}")
+        coarse = rr.integers(0, 256, size=(side // 8, side // 8, 3), dtype=np.int64)
+        other = np.kron(coarse, np.ones((8, 8, 1), dtype=np.int64))
+        blend = ((r["pixels"].astype(np.int64) + other) // 2).astype(np.uint8)
         cap = " ".join(_base_caption_tokens(seed, b, 620, 20))
-        return _finish(iid, _noisy(r["pixels"], seed, f"n62:{b}", 96), "rgb8", cap)
-    if s == 63:  # caption decoy: 2 spaced edits of slot 12 (J ≈ 0.67 < 0.8)
+        return _finish(iid, blend, "rgb8", cap)
+    if s == 63:  # caption decoy: 6 spaced edits of slot 12 — outside BOTH the
+        # Jaccard threshold (J ≈ 12/48 = 0.25) and SimHash reach (≈18 of 30
+        # shingles differ → Hamming ≫ 8); a 2-edit variant proved to be a
+        # genuine simhash near-dup, not a decoy
         r = base(12)
-        toks = _edit_tokens(r["toks"], 5, seed, f"d63a:{b}")
-        toks = _edit_tokens(toks, 25, seed, f"d63b:{b}")
+        toks = list(r["toks"])
+        for i, pos in enumerate((2, 7, 12, 17, 22, 27)):
+            toks = _edit_tokens(toks, pos, seed, f"d63{i}:{b}")
         px = _base_pixels(seed, b, 630)
         return _finish(iid, px, "rgb8", " ".join(toks))
     if s == 64:  # empty payload — must be excluded by validity predicates
@@ -209,8 +221,13 @@ def row_for_id(rid: int, seed: int) -> dict:
             "caption": "",
             "phash": 0,
         }
-    if 65 <= s <= 79:  # hot-bucket boilerplate: 18 shared words + 3 unique
-        toks = _HOT_PREFIX + ["scene", f"u{rid}a", f"u{rid}b", f"u{rid}c"]
+    if 65 <= s <= 79:  # hot-bucket boilerplate: 18 shared words + 1 unique
+        # One zero-padded unique token ⇒ pairwise Jaccard = 16/18 ≈ 0.89 —
+        # a TRUE dup mega-cluster whose minhash band buckets hold ~60% of all
+        # hot rows (>> bucket_cap), so the salting path is exercised while
+        # cluster connectivity stays robust. Zero-padding keeps equal caption
+        # lengths so no accidental substring containment.
+        toks = _HOT_PREFIX + ["scene", f"u{rid:06d}"]
         px = _base_pixels(seed, b, 600 + s)
         return _finish(iid, px, "rgb8", " ".join(toks))
 

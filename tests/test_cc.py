@@ -1,0 +1,50 @@
+import networkx as nx
+import numpy as np
+import pandas as pd
+import pytest
+
+from dedup_spark.operators.cc import connected_components
+
+
+def _run_cc(spark, edge_list, node_list):
+    edges = spark.createDataFrame(
+        pd.DataFrame(edge_list, columns=["a", "b"])
+        if edge_list
+        else pd.DataFrame({"a": pd.Series(dtype=str), "b": pd.Series(dtype=str)})
+    )
+    nodes = spark.createDataFrame(pd.DataFrame({"image_id": node_list}))
+    out = connected_components(edges, nodes).toPandas()
+    return dict(zip(out.image_id, out.cluster_id))
+
+
+@pytest.mark.parametrize("seed,n,m", [(0, 30, 25), (1, 60, 80), (2, 40, 10)])
+def test_cc_matches_networkx(spark, seed, n, m):
+    rng = np.random.default_rng(seed)
+    nodes = [f"n{i:03d}" for i in range(n)]
+    edges = []
+    for _ in range(m):
+        i, j = rng.integers(0, n, size=2)
+        if i != j:
+            edges.append((nodes[min(i, j)], nodes[max(i, j)]))
+    got = _run_cc(spark, edges, nodes)
+    g = nx.Graph()
+    g.add_nodes_from(nodes)
+    g.add_edges_from(edges)
+    exp = {}
+    for comp in nx.connected_components(g):
+        root = min(comp)
+        for x in comp:
+            exp[x] = root
+    assert got == exp
+    assert len(got) == n  # every node labeled exactly once
+
+
+def test_cc_chain_and_star(spark):
+    # pathological shapes: long chain (max rounds) and giant star
+    chain = [(f"c{i:03d}", f"c{i+1:03d}") for i in range(40)]
+    star = [("s000", f"s{i:03d}") for i in range(1, 30)]
+    nodes = sorted({x for e in chain + star for x in e}) + ["lonely"]
+    got = _run_cc(spark, chain + star, nodes)
+    assert {got[f"c{i:03d}"] for i in range(41)} == {"c000"}
+    assert {got[f"s{i:03d}"] for i in range(30)} == {"s000"}
+    assert got["lonely"] == "lonely"

@@ -1,0 +1,83 @@
+"""Checkpoint/resume semantics (SURVEY.md §2 B38; BASELINE.json:14
+"resumable from checkpoint with per-partition lineage + metrics")."""
+
+import json
+import os
+
+import pytest
+
+from dedup_spark.config import PipelineConfig
+from dedup_spark.plans.pipeline import run_pipeline
+from dedup_spark.sources.gen_images import gen_images
+
+N = 300
+
+
+@pytest.fixture(scope="module")
+def first_run(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("resume_store"))
+    images = gen_images(spark, N, 7)
+    run = run_pipeline(spark, images, root, run_id="rr")
+    report = spark.read.parquet(f"{root}/t_report").toPandas()
+    return root, run, report.sort_values("image_id").reset_index(drop=True)
+
+
+def test_rerun_skips_all_stages(spark, first_run):
+    root, run1, report1 = first_run
+    images = gen_images(spark, N, 7)
+    run2 = run_pipeline(spark, images, root, run_id="rr")
+    assert all(r.skipped for r in run2.results), [
+        r.name for r in run2.results if not r.skipped
+    ]
+    report2 = (
+        spark.read.parquet(f"{root}/t_report")
+        .toPandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    assert report1.equals(report2)
+
+
+def test_mid_pipeline_resume_recomputes_only_downstream(spark, first_run):
+    root, _, report1 = first_run
+    # simulate a crash after t_verified: nuke manifests of later stages
+    downstream = ["t_clusters", "t_winners", "t_report", "t_dir_report"]
+    for name in downstream:
+        os.remove(os.path.join(root, f"{name}.manifest.json"))
+    images = gen_images(spark, N, 7)
+    run = run_pipeline(spark, images, root, run_id="rr")
+    recomputed = {r.name for r in run.results if not r.skipped}
+    assert recomputed == set(downstream)
+    report2 = (
+        spark.read.parquet(f"{root}/t_report")
+        .toPandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    assert report1.equals(report2)
+
+
+def test_config_change_invalidates_checkpoints(spark, first_run):
+    root, _, _ = first_run
+    images = gen_images(spark, N, 7)
+    cfg2 = PipelineConfig(jaccard_threshold=0.9)
+    run = run_pipeline(spark, images, root, run_id="rr2", cfg=cfg2)
+    assert all(not r.skipped for r in run.results), (
+        "different config fingerprint must recompute everything"
+    )
+
+
+def test_lineage_and_metrics_written(spark, first_run):
+    root, _, _ = first_run
+    with open(os.path.join(root, "t_lineage.jsonl")) as f:
+        lineage = [json.loads(l) for l in f if l.strip()]
+    stages = {l["stage"] for l in lineage}
+    assert {"t_sigs", "t_verified", "t_clusters", "t_report"} <= stages
+    assert all(l["status"] == "done" and "fingerprint" in l for l in lineage)
+
+    metrics = spark.read.parquet(f"{root}/t_metrics").toPandas()
+    assert {"stage", "partition_id", "rows_out", "run_id"} <= set(metrics.columns)
+    m_rr = metrics[metrics.run_id == "rr"]
+    # t_sigs was computed exactly once under run "rr": per-partition rows sum
+    # to the materialized row count (per-partition lineage mandate)
+    assert m_rr.groupby("stage").rows_out.sum()["t_sigs"] == N - 3  # 3 invalid
