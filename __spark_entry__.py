@@ -1,38 +1,501 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship: the near-dup clustering engine over the sf0.001
+                 `documents` table (text families of the pipeline: MinHash
+                 LSH + SimHash + exact sha, salting, verify, connected
+                 components, winner selection).
+queries()      — one entry per implemented operator from SURVEY.md §2
+                 (rows B19, B23–B33 and the text-analysis/ANN additions are
+                 DuckDB-oracled; UDF-bearing stages are rows-only and carry
+                 their real correctness gate in tests/ — see SURVEY.md §5).
+oracle_sql()   — DuckDB-runnable ANSI twins, column names aligned.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Near-dup clusters + winners over sf0.001 documents (driver smoke)."""
+    from dedup_spark.operators.textdedup import text_dedup_clusters
+
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    return text_dedup_clusters(docs, "doc_id", "text")
+
+
+# --------------------------------------------------------------------------
+# SQL-expressible operator registry (B19, B23–B33 + text/ANN additions)
+# --------------------------------------------------------------------------
+
+def _content_digest_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # B23 exact-dup grouping: digest → members (count kept for every group so
+    # the value-hash exercises real digests even when the corpus has no dups)
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.md5(F.encode("text", "utf-8")).alias("digest"))
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.min("doc_id").cast("long").alias("root_doc"),
+        )
+    )
+
+
+def _winner_selection_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # B27 window winner: keep-one per source by (n_chars desc, doc_id asc)
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            (F.col("rn") == 1).alias("is_winner"),
+        )
+    )
+
+
+def _dup_pairs_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # B19 in-bucket pair generation: bucket = (lang, n_chars), a < b
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    x = d.select(F.col("doc_id").alias("a"), "lang", "n_chars")
+    y = d.select(F.col("doc_id").alias("b"), "lang", "n_chars")
+    return (
+        x.join(y, ["lang", "n_chars"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "lang", F.col("n_chars").cast("long").alias("n_chars"))
+    )
+
+
+def _anti_join_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # B32 unique extraction: rows whose (lang, n_chars) bucket is a singleton
+    d = _docs(spark, sf_dir)
+    dups = (
+        d.groupBy("lang", "n_chars").agg(F.count("*").alias("c")).where("c > 1")
+    )
+    return d.join(dups, ["lang", "n_chars"], "left_anti").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
+def _prefix_rollup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # B24 hierarchical hash rollup: source = directory analog; dir digest =
+    # md5 over the sorted member digests (order-insensitive by construction)
+    return (
+        _docs(spark, sf_dir)
+        .select("source", F.md5(F.encode("text", "utf-8")).alias("h"))
+        .groupBy("source")
+        .agg(
+            F.md5(F.encode(F.concat_ws("", F.sort_array(F.collect_list("h"))), "utf-8")).alias(
+                "dir_digest"
+            ),
+            F.count("*").cast("long").alias("n_members"),
+        )
+    )
+
+
+def _top_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # B31 top-k: largest (lang, source) groups, deterministic tiebreak
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang", "source")
+        .agg(F.count("*").cast("long").alias("cluster_size"))
+        .orderBy(F.desc("cluster_size"), "lang", "source")
+        .limit(10)
+    )
+
+
+def _latest_event_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dedup-by-key with window: latest event per (user_id, event_type)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        _events(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("user_id", "event_type", "event_id", "value")
+    )
+
+
+def _events_agg_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # B26 metrics aggregates: counts + approx-free exact distincts per type
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def _doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # text-analysis: length / token / stopword-ratio quality signals
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_toks = F.size(toks).cast("long")
+    stop_hits = (
+        F.size(F.filter(toks, lambda t: t.isin("the", "a", "of", "and"))).cast("long")
+    )
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_actual"),
+        n_toks.alias("n_tokens"),
+        stop_hits.alias("n_stopwords"),
+        F.round(stop_hits.cast("double") / n_toks.cast("double"), 6).alias(
+            "stopword_ratio"
+        ),
+        (n_toks >= 20).alias("long_enough"),
+    )
+
+
+def _token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(F.split(F.trim("text"), r"\s+")))
+        .cast("long")
+        .alias("n_distinct_tokens"),
+    )
+
+
+def _doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # document fingerprint: digest of whitespace-normalized lowercased text
+    norm = F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.md5(F.encode(norm, "utf-8")).alias("fingerprint")
+    )
+
+
+def _lang_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # language-ID heuristic signal: per declared lang, average stopword ratio
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    ratio = F.size(
+        F.filter(toks, lambda t: t.isin("the", "a", "of", "and"))
+    ).cast("double") / F.size(toks).cast("double")
+    return (
+        d.select("lang", ratio.alias("r"))
+        .groupBy("lang")
+        .agg(
+            F.round(F.avg("r"), 6).alias("avg_stopword_ratio"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
+    )
+
+
+def _ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # n-gram Jaccard near-dup scan within each source bucket (B36 analog,
+    # fully JVM-side: no UDF — higher-order functions build the 3-gram sets)
+    d = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    toks = F.split(F.trim("text"), r"\s+")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2),
+                F.element_at(toks, i + 3)
+            ),
+        )
+    )
+    g = d.where(F.size(toks) >= 3).select("doc_id", "source", grams.alias("grams"))
+    x = g.select(F.col("doc_id").alias("a"), "source", F.col("grams").alias("ga"))
+    y = g.select(F.col("doc_id").alias("b"), "source", F.col("grams").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb")).cast("double")
+    union = (F.size("ga") + F.size("gb")).cast("double") - inter
+    return (
+        x.join(y, "source")
+        .where(F.col("a") < F.col("b"))
+        .select(
+            "a", "b",
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.2)
+    )
+
+
+def _embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # brute-force cosine top-10 for query vectors (vec_id < 8); the O(Q*N)
+    # baseline ANN — the LSH-bucketed scale path is `embedding_lsh_ann`
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    q = e.where("vec_id < 8").select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nq = F.sqrt(F.aggregate("qv", F.lit(0.0), lambda acc, x: acc + x * x))
+    nv = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    sims = (
+        q.crossJoin(e)
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id", (dot / (nq * nv)).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where("rank <= 10")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# rows-only registry entries (UDF-bearing engine stages; pytest carries the
+# real correctness gate — SURVEY.md §5 layers 1-2)
+# --------------------------------------------------------------------------
+
+def _docs_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dedup_spark.operators.textdedup import text_dedup_clusters
+
+    return text_dedup_clusters(_docs(spark, sf_dir), "doc_id", "text").select(
+        "image_id", "cluster_id", "is_winner", F.col("cluster_size").cast("long").alias("cluster_size")
+    )
+
+
+def _docs_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dedup_spark.operators.textdedup import text_signatures
+
+    return text_signatures(_docs(spark, sf_dir), "doc_id", "text").select(
+        "image_id", "n_shingles", "simhash", "minhash_bands"
+    )
+
+
+def _docs_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dedup_spark.operators.containment import containment_stage
+    from dedup_spark.operators.textdedup import text_signatures
+
+    sigs = text_signatures(_docs(spark, sf_dir), "doc_id", "text")
+    pairs, _ = containment_stage(sigs)
+    return pairs
+
+
+def _images_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the full image engine on the deterministic synthetic table (no image
+    # payloads exist in the driver testdata; this is the payload=image path)
+    import tempfile
+
+    from dedup_spark.plans.pipeline import run_pipeline
+    from dedup_spark.sources.gen_images import gen_images
+
+    root = tempfile.mkdtemp(prefix="entry_images_")
+    images = gen_images(spark, 500, 7)
+    run_pipeline(spark, images, root, run_id="registry")
+    return spark.read.parquet(f"{root}/t_report")
+
+
+def _embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LSH-bucketed ANN scale path: sign-random-projection buckets (numpy
+    # hyperplanes inside a pandas UDF), then exact cosine within buckets —
+    # the shuffle is on the bucket key, so the quadratic compare never
+    # crosses buckets (at 10^12 rows add multi-probe + bucket salting)
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    @pandas_udf(LongType())
+    def srp_bucket(vs: pd.Series) -> pd.Series:
+        rng = np.random.default_rng(1234)
+        planes = rng.standard_normal((16, 64))
+        arr = np.stack(vs.to_numpy())
+        bits = (arr @ planes.T) > 0
+        packed = np.packbits(bits, axis=1, bitorder="little")[:, :2].copy()
+        return pd.Series(packed.view("<u2").astype("int64").ravel())
+
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    ).withColumn("bucket", srp_bucket(F.col("v")))
+    x = e.select(F.col("vec_id").alias("a"), F.col("v").alias("va"), "bucket")
+    y = e.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"), "bucket")
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z
+    )
+    na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda acc, z: acc + z * z))
+    nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda acc, z: acc + z * z))
+    return (
+        x.join(y, "bucket")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", F.round(dot / (na * nb), 6).alias("cosine"))
+        .where("cosine >= 0.8")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # SQL-oracled (B-rows in SURVEY.md §2)
+        "content_digest_groups": _content_digest_groups,      # B9/B23
+        "winner_selection_docs": _winner_selection_docs,      # B27
+        "dup_pairs_selfjoin": _dup_pairs_selfjoin,            # B19
+        "anti_join_uniques": _anti_join_uniques,              # B32
+        "prefix_rollup_docs": _prefix_rollup_docs,            # B24
+        "top_clusters_docs": _top_clusters_docs,              # B31
+        "latest_event_wins": _latest_event_wins,              # B27 (events)
+        "events_agg_metrics": _events_agg_metrics,            # B26
+        "doc_quality_scores": _doc_quality_scores,            # text analysis
+        "token_counts": _token_counts,                        # text analysis
+        "doc_fingerprint": _doc_fingerprint,                  # text analysis
+        "lang_stopword_profile": _lang_stopword_profile,      # text analysis
+        "ngram_jaccard_pairs": _ngram_jaccard_pairs,          # near-dup scan
+        "embedding_topk": _embedding_topk,                    # ANN baseline
+        # rows-only (UDF-bearing; correctness in pytest goldens)
+        "docs_near_dup_clusters": _docs_near_dup_clusters,    # B10-B36 slice
+        "docs_minhash_signatures": _docs_minhash_signatures,  # B10-B12
+        "docs_containment_pairs": _docs_containment_pairs,    # B21/B22
+        "images_pipeline_report": _images_pipeline_report,    # full engine
+        "embedding_lsh_ann": _embedding_lsh_ann,              # ANN scale path
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "content_digest_groups": """
+            SELECT md5(text) AS digest,
+                   count(*) AS n_members,
+                   min(doc_id) AS root_doc
+            FROM documents GROUP BY md5(text)
+        """,
+        "winner_selection_docs": """
+            SELECT doc_id, source, n_chars,
+                   (row_number() OVER (PARTITION BY source
+                                       ORDER BY n_chars DESC, doc_id ASC) = 1)
+                   AS is_winner
+            FROM documents
+        """,
+        "dup_pairs_selfjoin": """
+            SELECT x.doc_id AS a, y.doc_id AS b, x.lang AS lang,
+                   x.n_chars AS n_chars
+            FROM documents x JOIN documents y
+              ON x.lang = y.lang AND x.n_chars = y.n_chars
+             AND x.doc_id < y.doc_id
+        """,
+        "anti_join_uniques": """
+            SELECT doc_id, lang, n_chars FROM documents d
+            WHERE NOT EXISTS (
+                SELECT 1 FROM documents o
+                WHERE o.lang = d.lang AND o.n_chars = d.n_chars
+                  AND o.doc_id <> d.doc_id)
+        """,
+        "prefix_rollup_docs": """
+            SELECT source,
+                   md5(string_agg(h, '' ORDER BY h)) AS dir_digest,
+                   count(*) AS n_members
+            FROM (SELECT source, md5(text) AS h FROM documents)
+            GROUP BY source
+        """,
+        "top_clusters_docs": """
+            SELECT lang, source, count(*) AS cluster_size
+            FROM documents GROUP BY lang, source
+            ORDER BY cluster_size DESC, lang, source LIMIT 10
+        """,
+        "latest_event_wins": """
+            SELECT user_id, event_type, event_id, value FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events) WHERE rn = 1
+        """,
+        "events_agg_metrics": """
+            SELECT event_type, count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY event_type
+        """,
+        "doc_quality_scores": """
+            SELECT doc_id,
+                   length(text) AS n_chars_actual,
+                   len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                   len(list_filter(string_split_regex(trim(text), '\\s+'),
+                       t -> t IN ('the', 'a', 'of', 'and'))) AS n_stopwords,
+                   round(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                       t -> t IN ('the', 'a', 'of', 'and'))) * 1.0
+                       / len(string_split_regex(trim(text), '\\s+')), 6)
+                       AS stopword_ratio,
+                   len(string_split_regex(trim(text), '\\s+')) >= 20
+                       AS long_enough
+            FROM documents
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                   len(list_distinct(string_split_regex(trim(text), '\\s+')))
+                       AS n_distinct_tokens
+            FROM documents
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                       AS fingerprint
+            FROM documents
+        """,
+        "lang_stopword_profile": """
+            SELECT lang,
+                   round(avg(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                       t -> t IN ('the', 'a', 'of', 'and'))) * 1.0
+                       / len(string_split_regex(trim(text), '\\s+'))), 6)
+                       AS avg_stopword_ratio,
+                   count(*) AS n_docs
+            FROM documents GROUP BY lang
+        """,
+        "ngram_jaccard_pairs": """
+            WITH g AS (
+                SELECT doc_id, source,
+                       list_distinct(list_transform(
+                           generate_series(1, len(string_split_regex(trim(text), '\\s+')) - 2),
+                           i -> array_to_string(list_slice(
+                               string_split_regex(trim(text), '\\s+'), i, i + 2), ' ')
+                       )) AS grams
+                FROM documents
+                WHERE len(string_split_regex(trim(text), '\\s+')) >= 3
+            )
+            SELECT a, b, jaccard FROM (
+                SELECT x.doc_id AS a, y.doc_id AS b,
+                       round(len(list_intersect(x.grams, y.grams)) * 1.0 /
+                             (len(x.grams) + len(y.grams)
+                              - len(list_intersect(x.grams, y.grams))), 6)
+                           AS jaccard
+                FROM g x JOIN g y ON x.source = y.source AND x.doc_id < y.doc_id)
+            WHERE jaccard >= 0.2
+        """,
+        "embedding_topk": """
+            WITH e AS (SELECT vec_id, embedding FROM embeddings),
+            sims AS (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.embedding, e.embedding) AS sim
+                FROM e q JOIN e ON q.vec_id < 8 AND q.vec_id <> e.vec_id)
+            SELECT query_id, neighbor_id, rank FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, neighbor_id ASC)
+                           AS rank
+                FROM sims) WHERE rank <= 10
+        """,
+    }

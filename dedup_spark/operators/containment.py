@@ -130,7 +130,7 @@ def containment_pairs_df(
         sigs.select("image_id", "caption_norm"), "image_id"
     )
 
-    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         uniq = pdf.drop_duplicates("image_id")
         ids = uniq["image_id"].tolist()
         texts = uniq["caption_norm"].tolist()
