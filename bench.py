@@ -1,0 +1,113 @@
+"""Driver benchmark contract (repo root): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and print ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "images_per_sec": ...}
+
+The flagship number is the full image near-dup pipeline (generate → signatures
+→ LSH banding + salting → pairs → verify → CC → winners → rollup → report)
+over a deterministic synthetic images table (FIXTURES.md, seed 4242), because
+the north metric is "images/sec dedup throughput" (BASELINE.json:2). The
+remaining queries are the heavy registry entries over the driver testdata.
+
+Knobs (env):
+  SPARK_GRAFT_SF_DIR   testdata dir               (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] parallelism        (default 32)
+  SPARK_GRAFT_BENCH_N  synthetic image-table rows  (default 60000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_bench(cpus: int | None = None, sf_dir: str | None = None,
+              bench_n: int | None = None, quiet: bool = False) -> dict:
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    bench_n = bench_n or int(os.environ.get("SPARK_GRAFT_BENCH_N", "60000"))
+
+    from dedup_spark.session import get_spark
+    from dedup_spark.sources.gen_images import BENCH_SEED, gen_images
+
+    spark = get_spark(app=f"bench_local{cpus}", master=f"local[{cpus}]")
+    import __spark_entry__ as entrymod
+
+    reg = entrymod.queries()
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        if not quiet:
+            print(f"  {name}: {timings[name]:.2f}s", file=sys.stderr)
+
+    # -- flagship: full image dedup pipeline, images/sec ------------------
+    root = tempfile.mkdtemp(prefix="bench_images_")
+    try:
+        from dedup_spark.plans.pipeline import run_pipeline
+
+        def _pipeline():
+            input_path = f"{root}/t_input"
+            gen_images(spark, bench_n, BENCH_SEED).write.mode(
+                "overwrite"
+            ).parquet(input_path)
+            run_pipeline(
+                spark, spark.read.parquet(input_path), root, run_id="bench"
+            )
+            spark.read.parquet(f"{root}/t_report").count()
+
+        timed("images_pipeline", _pipeline)
+        images_per_sec = round(bench_n / timings["images_pipeline"], 1)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    # -- headline registry queries over driver testdata -------------------
+    headline = [
+        "docs_near_dup_clusters",   # text dedup engine end-to-end
+        "content_digest_groups",    # exact-hash groupBy
+        "winner_selection_docs",    # window winner
+        "prefix_rollup_docs",       # hierarchical rollup
+        "latest_event_wins",        # event dedup window (100k rows)
+        "events_agg_metrics",       # metrics aggregates
+        "ngram_jaccard_pairs",      # JVM-side n-gram Jaccard scan
+        "embedding_topk",           # brute-force ANN baseline
+        "embedding_lsh_ann",        # LSH-bucketed ANN scale path
+        "docs_containment_pairs",   # suffix-array containment
+    ]
+    for name in headline:
+        timed(name, lambda n=name: reg[n](spark, sf_dir).write
+              .format("noop").mode("overwrite").save())
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "dedup_bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_of(sf_dir),
+        "images_per_sec": images_per_sec,
+        "bench_images": bench_n,
+        "cpus": cpus,
+    }
+    spark.stop()
+    return result
+
+
+if __name__ == "__main__":
+    print(json.dumps(run_bench()))

@@ -34,6 +34,9 @@ class PipelineConfig:
     # --- pHash (64-bit DCT hash over decoded pixels) ---
     phash_bands: int = 8               # 8 bands x 8 bits
     phash_band_bits: int = 8
+    phash_combo_r: int = 2             # bucket on r-combos of bands (C(8,2)=28
+                                       # 16-bit keys; guarantee needs
+                                       # hamming_max <= bands - r)
     phash_hamming_max: int = 6         # verify threshold
     phash_size: int = 32               # luma resized to 32x32 before DCT
     phash_block: int = 8               # top-left 8x8 DCT block (ex-DC)

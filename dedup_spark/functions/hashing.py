@@ -56,29 +56,52 @@ def mulmod_p61(a: np.ndarray, x: np.ndarray) -> np.ndarray:
     2^61 ≡ 1 (mod p), i.e. 2^64 ≡ 8 and 2^32*2^29 ≡ 1. Every intermediate
     stays < 2^64, so plain wrapping uint64 numpy arithmetic is exact.
     """
-    a = a.astype(np.uint64, copy=False)
-    x = x.astype(np.uint64, copy=False)
-    a_hi = a >> np.uint64(32)          # < 2^29
-    a_lo = a & _MASK32                 # < 2^32
-    x_hi = x >> np.uint64(32)
-    x_lo = x & _MASK32
+    a = np.asarray(a, dtype=np.uint64)
+    x = np.asarray(x, dtype=np.uint64)
+    shape = np.broadcast_shapes(a.shape, x.shape)
+    a = np.broadcast_to(a, shape)
+    x = np.broadcast_to(x, shape)
+    # All ops write into 5 preallocated buffers: one fresh ufunc temp per op
+    # would page-fault a new arena each time, which dominates the runtime for
+    # the wide matrices MinHash feeds through here.
+    c3, c29, c32, c61 = np.uint64(3), np.uint64(29), np.uint64(32), np.uint64(61)
+    ah = np.right_shift(a, c32)              # < 2^29
+    al = np.bitwise_and(a, _MASK32)          # < 2^32
+    xh = np.right_shift(x, c32)
+    xl = np.bitwise_and(x, _MASK32)
+    out = np.empty(shape, dtype=np.uint64)
+    t = np.empty(shape, dtype=np.uint64)
 
     # ahi*xhi*2^64 ≡ ahi*xhi*8  (< 2^61, no fold needed)
-    t1 = (a_hi * x_hi) << np.uint64(3)
+    np.multiply(ah, xh, out=out)
+    np.left_shift(out, c3, out=out)
 
     # mid = ahi*xlo + alo*xhi  (< 2^62); fold once, then *2^32 via 29/32 split
-    mid = a_hi * x_lo + a_lo * x_hi
-    mid = (mid >> np.uint64(61)) + (mid & _MASK61)
-    t2 = (mid >> np.uint64(29)) + ((mid & _MASK29) << np.uint64(32))
+    np.multiply(ah, xl, out=ah)
+    np.multiply(al, xh, out=xh)
+    np.add(ah, xh, out=ah)                   # mid
+    np.right_shift(ah, c61, out=t)
+    np.bitwise_and(ah, _MASK61, out=ah)
+    np.add(ah, t, out=ah)                    # folded mid < 2^61
+    np.right_shift(ah, c29, out=t)
+    np.bitwise_and(ah, _MASK29, out=ah)
+    np.left_shift(ah, c32, out=ah)
+    np.add(ah, t, out=ah)                    # t2 = mid*2^32 mod p
+    np.add(out, ah, out=out)
 
     # alo*xlo < 2^64: fold
-    t3 = a_lo * x_lo
-    t3 = (t3 >> np.uint64(61)) + (t3 & _MASK61)
+    np.multiply(al, xl, out=al)
+    np.right_shift(al, c61, out=t)
+    np.bitwise_and(al, _MASK61, out=al)
+    np.add(al, t, out=al)
+    np.add(out, al, out=out)                 # s < 2^63
 
-    s = t1 + t2 + t3                   # < 2^63
-    s = (s >> np.uint64(61)) + (s & _MASK61)
-    s = np.where(s >= _P, s - _P, s)
-    return s
+    np.right_shift(out, c61, out=t)
+    np.bitwise_and(out, _MASK61, out=out)
+    np.add(out, t, out=out)
+    np.subtract(out, _P, out=t)
+    np.minimum(out, t, out=out)              # conditional -p: t wrapped if s<p
+    return out
 
 
 def to_signed64(u: np.ndarray) -> np.ndarray:

@@ -49,15 +49,25 @@ def minhash_batch(
         return sig
     flat = np.concatenate([s for s in shingle_lists if len(s)]).astype(np.uint64)
     flat = flat % np.uint64(MERSENNE_P61)
-    # (P, total): h_i(x) = (a_i * x + b_i) mod p
-    hm = mulmod_p61(a[:, None], flat[None, :])
-    hm += b[:, None]
-    hm = np.where(hm >= np.uint64(MERSENNE_P61), hm - np.uint64(MERSENNE_P61), hm)
+    # Shingles repeat heavily across the rows of a batch (shared vocabulary),
+    # so hash only the DISTINCT values and gather — ~an order of magnitude
+    # fewer mulmods — and chunk over the permutation axis so the working set
+    # stays cache-resident instead of materializing a (P, total) matrix.
+    uniq, inv = np.unique(flat, return_inverse=True)
     nonempty = np.nonzero(lengths)[0]
     offsets = np.zeros(len(nonempty), dtype=np.int64)
     np.cumsum(lengths[nonempty][:-1], out=offsets[1:])
-    mins = np.minimum.reduceat(hm, offsets, axis=1)  # (P, n_nonempty)
-    sig[nonempty, :] = mins.T
+    p = np.uint64(MERSENNE_P61)
+    chunk = max(1, min(P, (1 << 21) // max(len(uniq), 1)))  # ~16MB hot temp
+    for lo in range(0, P, chunk):
+        hi = min(lo + chunk, P)
+        # (chunk, n_uniq): h_i(x) = (a_i * x + b_i) mod p
+        hu = mulmod_p61(a[lo:hi, None], uniq[None, :])
+        hu += b[lo:hi, None]
+        hu = np.where(hu >= p, hu - p, hu)
+        hm = hu[:, inv]  # (chunk, total) gather
+        mins = np.minimum.reduceat(hm, offsets, axis=1)  # (chunk, n_nonempty)
+        sig[nonempty, lo:hi] = mins.T
     return sig
 
 

@@ -150,7 +150,12 @@ def containment_pairs_df(
 def containment_stage(
     sigs: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG, group_cap: int = 1000
 ) -> tuple[DataFrame, DataFrame]:
-    """sigs → (containment pairs (a,b), skipped-group log)."""
-    gi = gram_index(sigs, cfg)
+    """sigs → (containment pairs (a,b), skipped-group log).
+
+    The gram index is localCheckpoint'd: it feeds both the holder explode and
+    the anchor extraction, and mapInPandas cannot column-prune, so an
+    unmaterialized index would run the sliding-window UDF twice per action.
+    """
+    gi = gram_index(sigs, cfg).localCheckpoint()
     membership, skipped = containment_candidates(gi, cfg, group_cap)
     return containment_pairs_df(membership, sigs, cfg), skipped

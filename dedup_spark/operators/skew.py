@@ -64,13 +64,19 @@ def salted_bands(
     # only the HOT bucket list is broadcast (tiny by construction); singleton
     # buckets need no explicit filter — the in-bucket self-join emits nothing
     # for them, and AQE coalesces their empty shuffle partitions.
-    salted = bands.join(
-        F.broadcast(hot.select(*_KEY, "fanout")), _KEY, "left"
-    ).withColumn(
-        "salt",
-        F.when(
-            F.col("fanout").isNotNull(),
-            F.pmod(F.xxhash64("image_id"), F.col("fanout")).cast("int"),
-        ).otherwise(F.lit(0)),
-    ).drop("fanout")
+    salted = (
+        bands.join(F.broadcast(hot.select(*_KEY, "fanout")), _KEY, "left")
+        .withColumn(
+            "salt",
+            F.when(
+                F.col("fanout").isNotNull(),
+                F.pmod(F.xxhash64("image_id"), F.col("fanout")).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
+        # `hot` tells pair generation to switch from the quadratic in-bucket
+        # self-join to linear star edges (operators.pairs) — a mega-cluster of
+        # k boilerplate captions must cost O(k) candidates, not O(k^2/fanout)
+        .withColumn("hot", F.col("fanout").isNotNull())
+        .drop("fanout")
+    )
     return salted, skew_report

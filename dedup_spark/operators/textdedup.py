@@ -100,12 +100,28 @@ def text_dedup_clusters(
     text_col: str = "text",
     cfg: PipelineConfig = DEFAULT_CONFIG,
 ) -> DataFrame:
-    """(id, text) → (image_id, cluster_id, depth, is_winner, cluster_size)."""
-    sigs = text_signatures(df, id_col, text_col, cfg)
+    """(id, text) → (image_id, cluster_id, depth, is_winner, cluster_size).
+
+    The signature stage (the only Python/Arrow stage) is localCheckpoint'd:
+    it is consumed 4× downstream (banding, both verify join sides, the CC
+    singleton anti-join) and mapInPandas cannot column-prune, so without the
+    barrier every action would re-run the UDF over the full input. In the
+    checkpointed full pipeline (plans.pipeline) the StageStore plays this
+    role; here it's in-session. At cluster scale swap localCheckpoint for a
+    reliable checkpoint dir or a stage table.
+    """
+    sigs = text_signatures(df, id_col, text_col, cfg).localCheckpoint()
     bands = text_band_table(sigs, cfg)
     salted, _ = skew.salted_bands(bands, cfg)
+    salted = salted.localCheckpoint()  # consumed by star pass + orphan rescue
     cand = pairs_op.candidate_pairs(salted)
-    verified = text_verify(cand, sigs, cfg)
-    edges = verified.where("verified").select("a", "b")
+    verified = text_verify(cand, sigs, cfg).localCheckpoint()
+    rescued = text_verify(
+        pairs_op.orphan_rescue_pairs(salted, verified), sigs, cfg
+    )
+    edges = (
+        verified.where("verified").select("a", "b")
+        .unionByName(rescued.where("verified").select("a", "b"))
+    )
     clusters = cc.connected_components(edges, sigs.select("image_id"))
     return winners.select_winners(clusters)

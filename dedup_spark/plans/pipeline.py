@@ -16,6 +16,7 @@ Stage graph (each edge a materialization barrier):
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -44,26 +45,47 @@ def run_pipeline(
     run_id: str | None = None,
     cfg: PipelineConfig = DEFAULT_CONFIG,
     recompute_phash: bool = True,
+    input_token: str | None = None,
 ) -> PipelineRun:
-    store = make_store(spark, store_root, run_id, cfg.fingerprint())
+    """``input_token`` names the input identity (Iceberg snapshot id, parquet
+    path, or generator params). It is hashed into the resume fingerprint so a
+    stage checkpointed against one input is never silently reused for another
+    (B38 "input_snapshot"); None keeps the config-only key for callers that
+    manage input identity themselves."""
+    fp = cfg.fingerprint()
+    if input_token is not None:
+        import hashlib
+
+        fp = hashlib.sha256(f"{fp}|{input_token}".encode()).hexdigest()
+    store = make_store(spark, store_root, run_id, fp)
     run = PipelineRun(store=store)
 
     def stage(name: str, compute) -> DataFrame:
         if store.is_done(name):
             run.results.append(StageResult(name, -1, skipped=True))
             return store.read(spark, name)
+        t0 = time.perf_counter()
         df = compute()
-        run.results.append(store.write(name, df))
+        res = store.write(name, df)
+        res.seconds = round(time.perf_counter() - t0, 2)
+        run.results.append(res)
         return store.read(spark, name)
 
-    t_valid = stage("t_valid", lambda: validity.filter_valid(images))
+    # validity is a VIEW fused into the signature scan, never a materialized
+    # stage: the bytes column is the dominant I/O at scale (input_hint rows
+    # are mostly payload), so it must be read exactly once — by the signature
+    # UDF — with the validity predicates pushed into that same scan. Copying
+    # a 100TB input into a t_valid table would double the pipeline's I/O for
+    # zero resume value (t_sigs is the first checkpoint that matters).
     stage("t_invalid", lambda: validity.invalid_rows(images))
 
     from dedup_spark.operators.signatures import compute_signatures
 
     t_sigs = stage(
         "t_sigs",
-        lambda: compute_signatures(t_valid, cfg, recompute_phash=recompute_phash),
+        lambda: compute_signatures(
+            validity.filter_valid(images), cfg, recompute_phash=recompute_phash
+        ),
     )
 
     t_exact_edges = stage("t_exact_edges", lambda: exact.exact_edges(t_sigs))
@@ -93,9 +115,19 @@ def run_pipeline(
         ),
     )
 
+    # orphan rescue (see operators.pairs): rows with candidates but zero
+    # verified edges get one capped exhaustive round within their buckets
+    t_rescued = stage(
+        "t_rescued",
+        lambda: verify.verify_pairs(
+            pairs_op.orphan_rescue_pairs(t_salted, t_verified), t_sigs, cfg
+        ),
+    )
+
     def _edges():
         return (
             verify.verified_edges(t_verified)
+            .unionByName(verify.verified_edges(t_rescued))
             .unionByName(t_exact_edges.select("a", "b"))
             .unionByName(t_contain.select("a", "b"))
             .dropDuplicates(["a", "b"])

@@ -35,6 +35,7 @@ class StageResult:
     name: str
     rows: int
     skipped: bool
+    seconds: float = 0.0
 
 
 class ParquetStore:

@@ -1,0 +1,107 @@
+"""Scaling-efficiency benchmark (north rule, BASELINE.json:14).
+
+The rule demands N vs 4N *executors* with throughput scaling efficiency
+>= 0.8. This sandbox has one machine, so — per driver instruction — we run
+the SAME job on the SAME deterministic input at two parallelism levels,
+local[8] vs local[32], and report throughput at both plus
+
+    eff = (throughput@local[32] / throughput@local[8]) / 4
+
+Each run is a fresh subprocess (fresh JVM; no warm-cache bleed between
+parallelism levels) of jobs/run_pipeline.py with a fresh store root.
+Results land in BENCH/BASELINE.md and BENCH/scaling.json.
+
+Usage:  python jobs/bench_scaling.py [--n 60000] [--cores 8 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_once(cores: int, n: int, seed: int) -> dict:
+    root = tempfile.mkdtemp(prefix=f"scale_{cores}_")
+    try:
+        cmd = [
+            sys.executable, os.path.join(REPO, "jobs", "run_pipeline.py"),
+            "--generate", str(n), "--seed", str(seed),
+            "--store-root", root, "--master", f"local[{cores}]",
+            "--run-id", f"scale{cores}",
+        ]
+        out = subprocess.run(
+            cmd, cwd=REPO, capture_output=True, text=True, check=True,
+            env={**os.environ, "PYTHONPATH": REPO},
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        summary = json.loads(line)
+        summary["cores"] = cores
+        summary["throughput_images_per_sec"] = round(n / summary["elapsed_sec"], 1)
+        return summary
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--n", type=int, default=60000)
+    p.add_argument("--seed", type=int, default=4242)
+    p.add_argument("--cores", type=int, nargs=2, default=[8, 32])
+    args = p.parse_args()
+    lo_c, hi_c = args.cores
+
+    lo = run_once(lo_c, args.n, args.seed)
+    hi = run_once(hi_c, args.n, args.seed)
+    ratio = hi["throughput_images_per_sec"] / lo["throughput_images_per_sec"]
+    factor = hi_c / lo_c
+    eff = round(ratio / factor, 3)
+
+    result = {
+        "n_images": args.n,
+        "seed": args.seed,
+        "runs": [lo, hi],
+        "speedup": round(ratio, 3),
+        "core_factor": factor,
+        "scaling_efficiency": eff,
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump(result, f, indent=2)
+
+    md = f"""# BENCH/BASELINE.md — throughput + scaling efficiency
+
+North metric (BASELINE.json:2): images/sec dedup throughput; scaling
+efficiency >= 0.8 from N to 4N executors. Sandbox substitution (per driver
+instruction): same job, same deterministic input (gen_images n={args.n},
+seed={args.seed}), two parallelism levels on one host, fresh JVM each.
+
+| config | elapsed (s) | throughput (images/s) |
+| --- | --- | --- |
+| local[{lo_c}] | {lo['elapsed_sec']} | {lo['throughput_images_per_sec']} |
+| local[{hi_c}] | {hi['elapsed_sec']} | {hi['throughput_images_per_sec']} |
+
+- speedup {lo_c}->{hi_c} cores: **{result['speedup']}x** (ideal {factor}x)
+- scaling efficiency: **{eff}** (target >= 0.8) -> {'PASS' if result['pass'] else 'FAIL'}
+
+Pipeline measured end-to-end: generate -> validity -> signatures (pandas-UDF
+decode+DCT pHash, MinHash, SimHash) -> LSH banding + salting -> candidate
+pairs -> verify -> connected components -> winners -> prefix rollup ->
+report, all stages checkpointed (resume-capable) to a ParquetStore.
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
