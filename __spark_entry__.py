@@ -314,6 +314,28 @@ def _images_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{root}/t_report")
 
 
+def _images_resized_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # multimodal: decode → bilinear resize → re-encode over the binary
+    # payload column (operators.multimodal; bytes summarized by md5 so the
+    # driver row check stays light)
+    from dedup_spark.operators.multimodal import resize_images
+    from dedup_spark.sources.gen_images import gen_images
+
+    thumbs = resize_images(gen_images(spark, 300, 7).where("w > 0"), 16, 16)
+    return thumbs.select(
+        "image_id", "w", "h", "fmt", F.md5("bytes").alias("thumb_md5")
+    )
+
+
+def _image_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # multimodal: decode → fixed-width feature extraction (mean/std RGB,
+    # luma histogram, edge density) — map-only, bytes touched once
+    from dedup_spark.operators.multimodal import image_features
+    from dedup_spark.sources.gen_images import gen_images
+
+    return image_features(gen_images(spark, 300, 7).where("w > 0"))
+
+
 def _embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LSH-bucketed ANN scale path: sign-random-projection buckets (numpy
     # hyperplanes inside a pandas UDF), then exact cosine within buckets —
@@ -372,6 +394,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_containment_pairs": _docs_containment_pairs,    # B21/B22
         "images_pipeline_report": _images_pipeline_report,    # full engine
         "embedding_lsh_ann": _embedding_lsh_ann,              # ANN scale path
+        "images_resized_thumbs": _images_resized_thumbs,      # multimodal resize
+        "image_feature_vectors": _image_feature_vectors,      # multimodal features
     }
 
 

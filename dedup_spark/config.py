@@ -42,7 +42,11 @@ class PipelineConfig:
     phash_block: int = 8               # top-left 8x8 DCT block (ex-DC)
 
     # --- suffix-array caption containment ---
-    suffix_min_len: int = 12           # min substring length (chars)
+    suffix_min_len: int = 24           # min substring length (chars, ~4 words;
+                                       # anchors shorter than this collide so
+                                       # heavily on boilerplate vocabulary that
+                                       # the gram index degenerates — cf. the
+                                       # 50-token threshold in Lee et al. 2022)
 
     # --- LSH skew handling ---
     bucket_cap: int = 64               # members before salting kicks in

@@ -47,8 +47,11 @@ def _hamming_bands_df(
 ) -> DataFrame:
     keys = F.array(*_slices(col, bands, band_bits))
     return sigs.select(
-        "image_id", F.posexplode(keys).alias("band_idx", "band_key")
-    ).select("image_id", F.lit(family).alias("family"), "band_idx", "band_key")
+        "image_id", F.col(col).alias("hval"),
+        F.posexplode(keys).alias("band_idx", "band_key"),
+    ).select(
+        "image_id", F.lit(family).alias("family"), "band_idx", "band_key", "hval"
+    )
 
 
 def _combo_bands_df(
@@ -63,18 +66,28 @@ def _combo_bands_df(
             k = F.shiftleft(k, band_bits).bitwiseOR(sl[j])
         keys.append(k)
     return sigs.select(
-        "image_id", F.posexplode(F.array(*keys)).alias("band_idx", "band_key")
-    ).select("image_id", F.lit(family).alias("family"), "band_idx", "band_key")
+        "image_id", F.col(col).alias("hval"),
+        F.posexplode(F.array(*keys)).alias("band_idx", "band_key"),
+    ).select(
+        "image_id", F.lit(family).alias("family"), "band_idx", "band_key", "hval"
+    )
 
 
 def band_table(sigs: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Long-format band table. Hamming-family rows CARRY the full 64-bit hash
+    (``hval``) so the in-bucket exact verifier (operators.hamming) needs no
+    join back to signatures; minhash rows set it null (their verification is
+    Jaccard over shingle sets, which stays in operators.verify)."""
     assert cfg.phash_hamming_max <= cfg.phash_bands - cfg.phash_combo_r, (
         "phash combo banding would lose the pigeonhole recall guarantee"
     )
     with_caption = sigs.where(F.col("n_shingles") > 0)
     mh = with_caption.select(
         "image_id", F.posexplode("minhash_bands").alias("band_idx", "band_key")
-    ).select("image_id", F.lit("minhash").alias("family"), "band_idx", "band_key")
+    ).select(
+        "image_id", F.lit("minhash").alias("family"), "band_idx", "band_key",
+        F.lit(None).cast("long").alias("hval"),
+    )
     sim = _hamming_bands_df(
         with_caption, "simhash", "simhash", cfg.simhash_bands, cfg.simhash_band_bits
     )

@@ -88,8 +88,12 @@ def gram_index(sigs: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFra
                 columns=["image_id", "anchor", "grams"],
             )
 
-    return sigs.select("image_id", "caption_norm").mapInPandas(
-        run, schema=_GRAMS_SCHEMA
+    from dedup_spark.session import py_parallelism
+
+    return (
+        sigs.select("image_id", "caption_norm")
+        .coalesce(py_parallelism(sigs.sparkSession))
+        .mapInPandas(run, schema=_GRAMS_SCHEMA)
     )
 
 
@@ -117,32 +121,71 @@ def containment_candidates(
 
     sizes = both.groupBy("gram").agg(F.count("*").alias("n"))
     skipped = sizes.where(F.col("n") > group_cap)
-    kept = both.join(F.broadcast(skipped.select("gram")), "gram", "left_anti")
+    # singleton groups (an anchor gram occurring only in its own doc — the
+    # overwhelming majority) cannot produce a pair; dropping them before the
+    # grouped-map UDF removes ~95% of the per-group invocation overhead,
+    # which is what the suffix stage's wall-clock is actually made of
+    viable = sizes.where((F.col("n") > 1) & (F.col("n") <= group_cap))
+    kept = both.join(viable.select("gram"), "gram", "left_semi")
     return kept, skipped
 
 
 def containment_pairs_df(
     membership: DataFrame, sigs: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG
 ) -> DataFrame:
-    """Grouped-map suffix-array pass over each anchor-gram group → (a, b)."""
+    """Suffix-array pass over each anchor-gram group → (a, b).
+
+    NOT applyInPandas: per-group grouped-map pays Arrow + pandas setup for
+    every group, and anchor groups are tiny and numerous (tens of thousands
+    of 2–15 member groups), so the fixed per-group cost dwarfs the actual
+    suffix-array work by ~30×. Instead: repartition on gram, sort within
+    partitions, and run ONE mapInPandas whose batches each carry many
+    complete groups — the group that straddles a batch boundary is carried
+    into the next batch (batches of one partition arrive in order).
+    """
     min_len = cfg.suffix_min_len
     with_text = membership.join(
         sigs.select("image_id", "caption_norm"), "image_id"
     )
 
-    def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        uniq = pdf.drop_duplicates("image_id")
-        ids = uniq["image_id"].tolist()
-        texts = uniq["caption_norm"].tolist()
-        pairs = containment_pairs(ids, texts, min_len)
-        if not pairs:
-            return pd.DataFrame({"a": [], "b": []})
-        a, b = zip(*sorted(pairs))
-        return pd.DataFrame({"a": list(a), "b": list(b)})
+    def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_a: list[str] = []
+        out_b: list[str] = []
+        for _, grp in pdf.groupby("gram", sort=False):
+            uniq = grp.drop_duplicates("image_id")
+            if len(uniq) < 2:
+                continue
+            pairs = containment_pairs(
+                uniq["image_id"].tolist(), uniq["caption_norm"].tolist(), min_len
+            )
+            for a, b in pairs:
+                out_a.append(a)
+                out_b.append(b)
+        return pd.DataFrame({"a": out_a, "b": out_b})
 
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            last = pdf["gram"].iloc[-1]
+            boundary = pdf["gram"] == last
+            carry = pdf[boundary]
+            done = pdf[~boundary]
+            if len(done):
+                yield emit(done)
+        if carry is not None and len(carry):
+            yield emit(carry)
+
+    from dedup_spark.session import py_parallelism
+
+    nparts = py_parallelism(membership.sparkSession)
     return (
-        with_text.groupBy("gram")
-        .applyInPandas(run, schema=_PAIRS_SCHEMA)
+        with_text.repartition(nparts, "gram")
+        .sortWithinPartitions("gram")
+        .mapInPandas(run, schema=_PAIRS_SCHEMA)
         .dropDuplicates(["a", "b"])
     )
 

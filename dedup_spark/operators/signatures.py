@@ -111,9 +111,11 @@ def compute_signatures(
     cols = ["image_id", "bytes", "w", "h", "fmt", "caption"]
     if not recompute_phash:
         cols.append("phash")
-    src = images.select(*cols)
-    if not recompute_phash:
-        return src.mapInPandas(run, schema=SIG_SCHEMA)
+    from dedup_spark.session import py_parallelism
+
+    # UDF stages run at half the core count (see session.py_parallelism):
+    # coalesce merges scan splits without a shuffle
+    src = images.select(*cols).coalesce(py_parallelism(images.sparkSession))
     return src.mapInPandas(run, schema=SIG_SCHEMA)
 
 

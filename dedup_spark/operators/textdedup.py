@@ -65,7 +65,11 @@ def text_signatures(
                 }
             )
 
-    return src.mapInPandas(run, schema=SIG_SCHEMA)
+    from dedup_spark.session import py_parallelism
+
+    return src.coalesce(py_parallelism(df.sparkSession)).mapInPandas(
+        run, schema=SIG_SCHEMA
+    )
 
 
 def text_band_table(sigs: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
@@ -75,7 +79,10 @@ def text_band_table(sigs: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> Da
     with_caption = sigs.where(F.col("n_shingles") > 0)
     mh = with_caption.select(
         "image_id", F.posexplode("minhash_bands").alias("band_idx", "band_key")
-    ).select("image_id", F.lit("minhash").alias("family"), "band_idx", "band_key")
+    ).select(
+        "image_id", F.lit("minhash").alias("family"), "band_idx", "band_key",
+        F.lit(None).cast("long").alias("hval"),
+    )
     sim = _hamming_bands_df(
         with_caption, "simhash", "simhash", cfg.simhash_bands, cfg.simhash_band_bits
     )
@@ -110,18 +117,31 @@ def text_dedup_clusters(
     role; here it's in-session. At cluster scale swap localCheckpoint for a
     reliable checkpoint dir or a stage table.
     """
+    from dedup_spark.operators.hamming import hamming_family_pairs
+    from dedup_spark.operators.verify import rescue_verify_pairs
+
     sigs = text_signatures(df, id_col, text_col, cfg).localCheckpoint()
     bands = text_band_table(sigs, cfg)
     salted, _ = skew.salted_bands(bands, cfg)
-    salted = salted.localCheckpoint()  # consumed by star pass + orphan rescue
-    cand = pairs_op.candidate_pairs(salted)
+    # consumed by the hamming verifier, star pass and orphan rescue
+    salted = salted.localCheckpoint()
+    ham = hamming_family_pairs(
+        salted, {"simhash": cfg.simhash_hamming_max}, cfg
+    ).localCheckpoint()
+    mh_salted = salted.where(F.col("family") == "minhash")
+    cand = pairs_op.candidate_pairs(mh_salted)
     verified = text_verify(cand, sigs, cfg).localCheckpoint()
-    rescued = text_verify(
-        pairs_op.orphan_rescue_pairs(salted, verified), sigs, cfg
+    judged = verified.select("a", "b", "verified").unionByName(
+        ham.select("a", "b", F.lit(True).alias("verified"))
+    )
+    rescued = rescue_verify_pairs(
+        pairs_op.orphan_rescue_pairs(mh_salted, judged), sigs, cfg,
+        use_phash=False,
     )
     edges = (
         verified.where("verified").select("a", "b")
         .unionByName(rescued.where("verified").select("a", "b"))
+        .unionByName(ham.select("a", "b"))
     )
     clusters = cc.connected_components(edges, sigs.select("image_id"))
     return winners.select_winners(clusters)

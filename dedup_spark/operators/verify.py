@@ -79,3 +79,60 @@ def verify_pairs(
 
 def verified_edges(verified: DataFrame) -> DataFrame:
     return verified.where("verified").select("a", "b")
+
+
+def rescue_verify_pairs(
+    pairs: DataFrame,
+    sigs: DataFrame,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    simhash_slack: int = 24,
+    use_phash: bool = True,
+) -> DataFrame:
+    """Verification sized for the rescue pass's candidate volume.
+
+    Rescue candidates are dominated by random band-key collisions, so the
+    full verify join — which ships each side's shingle ARRAY — would move
+    ~20× more shuffle bytes than needed to reject them. Two phases instead:
+
+    1. join only fixed-width columns (sha256, simhash, phash: ~3 longs/row)
+       and decide the exact / simhash / phash families exactly;
+    2. the Jaccard family can't be decided without arrays, but J >= 0.8
+       implies a tightly concentrated simhash distance (E[d] ~ 10, sd ~ 3
+       at 64 bits), so only pairs with simhash Hamming <= ``simhash_slack``
+       (generous +5 sd) proceed to the full array verify — a ~0.3% residue
+       of random pairs (E[d] = 32) — and the rest are rejected without ever
+       touching an array.
+
+    Output schema: (a, b, verified) — the edge union consumes exactly that.
+    """
+    slim = sigs.select("image_id", "sha256", "n_shingles", "simhash", "phash")
+    sa = slim.select(
+        F.col("image_id").alias("a"), F.col("sha256").alias("sha_a"),
+        F.col("n_shingles").alias("ns_a"), F.col("simhash").alias("sim_a"),
+        F.col("phash").alias("ph_a"),
+    )
+    sb = slim.select(
+        F.col("image_id").alias("b"), F.col("sha256").alias("sha_b"),
+        F.col("n_shingles").alias("ns_b"), F.col("simhash").alias("sim_b"),
+        F.col("phash").alias("ph_b"),
+    )
+    j = pairs.join(sa, "a").join(sb, "b")
+    both_captioned = (F.col("ns_a") > 0) & (F.col("ns_b") > 0)
+    ham_sim = F.bit_count(F.expr("sim_a ^ sim_b"))
+    ham_ph = F.bit_count(F.expr("ph_a ^ ph_b"))
+    cheap_pass = (F.col("sha_a") == F.col("sha_b")) | (
+        both_captioned & (ham_sim <= F.lit(cfg.simhash_hamming_max))
+    )
+    if use_phash:
+        cheap_pass = cheap_pass | (ham_ph <= F.lit(cfg.phash_hamming_max))
+    j = j.withColumn("cheap_pass", cheap_pass).withColumn(
+        "jaccard_plausible",
+        ~cheap_pass & both_captioned & (ham_sim <= F.lit(simhash_slack)),
+    )
+    direct = j.where("cheap_pass").select(
+        "a", "b", F.lit(True).alias("verified")
+    )
+    maybe = j.where("jaccard_plausible").select("a", "b")
+    full = verify_pairs(maybe, sigs, cfg)
+    jac = full.select("a", "b", F.col("f_minhash").alias("verified"))
+    return direct.unionByName(jac)

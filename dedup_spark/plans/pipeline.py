@@ -6,12 +6,14 @@ SKIP and read its materialized output; else compute → write → mark done.
 Killing the driver between any two stages and re-running with the same
 run_id resumes mid-pipeline (BASELINE.json:14), verified by tests/test_resume.
 
-Stage graph (each edge a materialization barrier):
+Stage graph (materialized checkpoints only; banding / exact edges / star
+pairs / dir digests are views recomputed from their checkpointed parent —
+cheaper than a materialization barrier):
 
-  images ─ t_valid ─ t_sigs ─┬─ t_bands ─ t_salted ─ t_cand_pairs ─┐
-                             ├─ t_exact_edges ──────────────────── ├─ t_verified
-                             └─ t_containment ─────────────────────┘     │
-            t_clusters ── t_winners ── t_report ◄── t_dup_dirs ◄── t_dirs┘
+  images ─ t_sigs ─┬─ t_salted ──────(star pairs)──┐
+   (validity fused)├─(exact edges)───────────────── ├─ t_verified ─ t_rescued
+                   └─ t_containment ────────────────┘        │
+     t_clusters ── t_winners ── t_report ◄── t_dup_dirs ◄────┘
 """
 
 from __future__ import annotations
@@ -88,18 +90,35 @@ def run_pipeline(
         ),
     )
 
-    t_exact_edges = stage("t_exact_edges", lambda: exact.exact_edges(t_sigs))
-
-    t_bands = stage("t_bands", lambda: banding.band_table(t_sigs, cfg))
+    # Cheap derivations of an already-materialized stage stay VIEWS: every
+    # extra stage table costs a write + read + metrics job (and at cluster
+    # scale, real storage I/O); checkpoints belong at expensive-to-recompute
+    # or multiply-consumed points only. banding is a posexplode of t_sigs,
+    # exact edges one groupBy of it — both recompute in less time than a
+    # materialization barrier costs.
+    t_exact_edges = exact.exact_edges(t_sigs)
 
     def _salted():
-        salted, skew_report = skew.salted_bands(t_bands, cfg)
+        salted, skew_report = skew.salted_bands(banding.band_table(t_sigs, cfg), cfg)
         stage("t_skew_report", lambda: skew_report)
         return salted
 
+    # t_salted IS a checkpoint: it carries the census+salt shuffle and is
+    # consumed three times (hamming verifier, star pass, orphan rescue)
     t_salted = stage("t_salted", _salted)
 
-    t_cand = stage("t_cand_pairs", lambda: pairs_op.candidate_pairs(t_salted))
+    # Hamming families (simhash, phash) verify EXACTLY inside their buckets —
+    # numpy popcount per salted group, no candidate rows, no rescue needed
+    # (operators.hamming; SURVEY.md §8). Only the minhash/Jaccard family
+    # goes through star candidates + join verification + orphan rescue.
+    from dedup_spark.operators import hamming
+
+    t_hamming = stage(
+        "t_hamming", lambda: hamming.hamming_family_pairs(t_salted, cfg=cfg)
+    )
+
+    mh_salted = t_salted.where(F.col("family") == "minhash")
+    t_cand = pairs_op.candidate_pairs(mh_salted)
 
     def _containment():
         pair_df, skipped = containment.containment_stage(t_sigs, cfg)
@@ -115,12 +134,22 @@ def run_pipeline(
         ),
     )
 
-    # orphan rescue (see operators.pairs): rows with candidates but zero
-    # verified edges get one capped exhaustive round within their buckets
+    # orphan rescue (see operators.pairs): minhash-bucketed rows with
+    # candidates but zero links anywhere get one capped exhaustive round.
+    # "Judged" = verify output + hamming pairs + exact edges, so rows linked
+    # by ANY family are not orphans and already-found pairs aren't redone.
+    def _judged():
+        true_col = F.lit(True).alias("verified")
+        return (
+            t_verified.select("a", "b", "verified")
+            .unionByName(t_hamming.select("a", "b", true_col))
+            .unionByName(t_exact_edges.select("a", "b", true_col))
+        )
+
     t_rescued = stage(
         "t_rescued",
-        lambda: verify.verify_pairs(
-            pairs_op.orphan_rescue_pairs(t_salted, t_verified), t_sigs, cfg
+        lambda: verify.rescue_verify_pairs(
+            pairs_op.orphan_rescue_pairs(mh_salted, _judged()), t_sigs, cfg
         ),
     )
 
@@ -128,6 +157,7 @@ def run_pipeline(
         return (
             verify.verified_edges(t_verified)
             .unionByName(verify.verified_edges(t_rescued))
+            .unionByName(t_hamming.select("a", "b"))
             .unionByName(t_exact_edges.select("a", "b"))
             .unionByName(t_contain.select("a", "b"))
             .dropDuplicates(["a", "b"])
@@ -141,8 +171,9 @@ def run_pipeline(
 
     t_winners = stage("t_winners", lambda: winners.select_winners(t_clusters))
 
-    t_dirs = stage("t_dirs", lambda: rollup.dir_digests(t_sigs))
-    t_dup_dirs = stage("t_dup_dirs", lambda: rollup.dup_dirs(t_dirs))
+    t_dup_dirs = stage(
+        "t_dup_dirs", lambda: rollup.dup_dirs(rollup.dir_digests(t_sigs))
+    )
 
     def _report():
         sup = rollup.suppressed_members(t_sigs, t_dup_dirs)

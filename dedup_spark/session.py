@@ -8,7 +8,42 @@ the caller overrides via --conf, these are local-mode ergonomics.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import SparkSession
+
+
+def _pin_blas_threads() -> None:
+    """One BLAS/OMP thread per Python worker.
+
+    Spark already runs one Python worker per core; letting each worker's
+    numpy spawn its own thread pool oversubscribes the host by the core
+    count squared — measured as a stage running 3× SLOWER at local[32] than
+    local[8]. Must be set before workers import numpy; local-mode workers
+    inherit the driver env set here.
+    """
+    for var in (
+        "OMP_NUM_THREADS",
+        "OPENBLAS_NUM_THREADS",
+        "MKL_NUM_THREADS",
+        "VECLIB_MAXIMUM_THREADS",
+        "NUMEXPR_NUM_THREADS",
+    ):
+        os.environ.setdefault(var, "1")
+    # glibc: serve large numpy temps from the (per-process) heap and never
+    # give pages back mid-job. The default mmap-per-allocation path serializes
+    # all workers on the kernel's address-space locks — measured 8×+ CPU
+    # inflation for identical numpy work at 32 concurrent workers, and fault
+    # time is billed to the worker as CPU. Heap reuse makes it vanish.
+    for var, val in MALLOC_TUNING.items():
+        os.environ.setdefault(var, val)
+
+
+MALLOC_TUNING = {
+    "MALLOC_MMAP_THRESHOLD_": "268435456",
+    "MALLOC_TRIM_THRESHOLD_": "-1",
+    "MALLOC_TOP_PAD_": "268435456",
+}
 
 
 def get_spark(
@@ -17,9 +52,15 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
+    _pin_blas_threads()
     b = SparkSession.builder.appName(app)
     if master:
         b = b.master(master)
+    # on a real cluster the same pinning must reach executors explicitly
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        b = b.config(f"spark.executorEnv.{var}", "1")
+    for var, val in MALLOC_TUNING.items():
+        b = b.config(f"spark.executorEnv.{var}", val)
     b = (
         b.config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -37,6 +78,19 @@ def get_spark(
     spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def py_parallelism(spark: SparkSession) -> int:
+    """Task concurrency for pandas-UDF stages: HALF the cores.
+
+    A pandas-UDF task occupies two threads — the JVM feeder (scan +
+    decompress + Arrow) and the Python worker. Running cores×2 busy threads
+    on cores CPUs thrashes caches so badly that identical numpy work was
+    measured at 4–6× more CPU per row (local[32]: 12.1s/stage at 32 workers
+    vs 2.6s at 16 workers on this host). JVM-only stages are unaffected —
+    cap only the UDF stages (coalesce, no shuffle), not spark.task.cpus.
+    """
+    return max(spark.sparkContext.defaultParallelism // 2, 1)
 
 
 def iceberg_available(spark: SparkSession) -> bool:

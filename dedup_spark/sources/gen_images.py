@@ -272,7 +272,9 @@ def gen_images(spark, n: int, seed: int, num_partitions: int | None = None):
     Partition count defaults to defaultParallelism so generation scales with
     the cluster; content is partitioning-invariant (pure f(seed, id)).
     """
-    parts = num_partitions or spark.sparkContext.defaultParallelism
+    from dedup_spark.session import py_parallelism
+
+    parts = num_partitions or py_parallelism(spark)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -71,8 +71,7 @@ class ParquetStore:
         df.write.mode("overwrite").parquet(path)
         spark = df.sparkSession
         out = spark.read.parquet(path)
-        rows = out.count()
-        self._write_metrics(name, out)
+        rows = self._write_metrics(name, out)
         manifest = {
             "stage": name,
             "run_id": self.run_id,
@@ -104,14 +103,19 @@ class ParquetStore:
         with open(path) as f:
             return [json.loads(line) for line in f if line.strip()]
 
-    def _write_metrics(self, name: str, out: DataFrame) -> None:
+    def _write_metrics(self, name: str, out: DataFrame) -> int:
+        """Write the per-partition metrics rows; returns total row count
+        (summed from the same aggregate — one job covers both)."""
         m = (
             out.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(F.count("*").alias("rows_out"))
             .withColumn("stage", F.lit(name))
             .withColumn("run_id", F.lit(self.run_id))
-        )
+        ).cache()
         m.write.mode("append").parquet(os.path.join(self.root, "t_metrics"))
+        total = m.agg(F.sum("rows_out")).collect()[0][0] or 0
+        m.unpersist()
+        return int(total)
 
     def metrics(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(os.path.join(self.root, "t_metrics"))
@@ -134,8 +138,7 @@ class IcebergStore(ParquetStore):
         df.writeTo(tbl).createOrReplace()
         spark = df.sparkSession
         out = spark.read.table(tbl)
-        rows = out.count()
-        self._write_metrics(name, out)
+        rows = self._write_metrics(name, out)
         manifest = {
             "stage": name,
             "run_id": self.run_id,
