@@ -42,11 +42,15 @@ class PipelineConfig:
     phash_block: int = 8               # top-left 8x8 DCT block (ex-DC)
 
     # --- suffix-array caption containment ---
-    suffix_min_len: int = 24           # min substring length (chars, ~4 words;
-                                       # anchors shorter than this collide so
-                                       # heavily on boilerplate vocabulary that
-                                       # the gram index degenerates — cf. the
-                                       # 50-token threshold in Lee et al. 2022)
+    # Gram index uses winnowing/minimizers: holders emit only window-minimum
+    # gram hashes (≈ 2/(w+1) of all grams), a pattern's anchor is its global
+    # minimum gram; if A ⊆ B and A has ≥ w grams, some window of B lying
+    # fully inside A has A's global min as ITS min, so B emits it — exact
+    # recall for contained captions of ≥ gram_q + window − 1 chars.
+    suffix_min_len: int = 32           # min contained length (chars); must be
+                                       # ≥ suffix_gram_q + suffix_window − 1
+    suffix_gram_q: int = 24            # gram size (bytes of caption_norm)
+    suffix_window: int = 9            # winnowing window (in grams)
 
     # --- LSH skew handling ---
     bucket_cap: int = 64               # members before salting kicks in

@@ -1,24 +1,29 @@
 """Suffix-array substring containment pass (SURVEY.md §2 B21/B22).
 
-Distributed scheme (exact for contained captions ≥ min_len chars):
+Distributed scheme (exact for contained captions ≥ suffix_min_len chars):
 
-1. every captioned row emits the hashes of ALL its distinct min_len-char
-   grams (vectorized sliding-window mix — internal keys, collisions only add
-   spurious group members) plus its ANCHOR gram (the first min_len chars);
-2. anchors equi-join the gram index: if caption A ⊆ caption B then A's
-   anchor gram literally occurs in B, so (A, B) co-occur on A's anchor key —
-   recall 1.0 by construction;
+1. every captioned row emits its WINNOWED gram hashes — the minimum of each
+   window of ``suffix_window`` consecutive ``suffix_gram_q``-byte gram
+   hashes (≈ 2/(w+1) of all grams) — plus, for rows long enough to be
+   contained, an ANCHOR: the row's global-minimum gram. If A ⊆ B and A has
+   ≥ w grams, some window of B lying fully inside A has A's global min as
+   its window min, so B provably emits A's anchor — the minimizer guarantee
+   that keeps recall exact while shrinking the index ~9×;
+2. pattern anchors equi-join the winnowed index: (A, B) co-occur on A's
+   anchor key;
 3. each anchor-gram group (pattern docs + holder docs) goes through a
-   grouped-map pandas UDF that builds ONE suffix array over the group's
+   batched suffix-array UDF that builds ONE suffix array over the group's
    NUL-joined captions and binary-searches each pattern doc
    (functions.suffix) — emitting only true containments;
 4. oversized groups (boilerplate grams) are capped and LOGGED, mirroring the
    LSH hot-bucket policy (operators.skew).
 
-The gram index is O(total caption chars) rows — the same asymptotics as the
-corpus-level suffix-array dedup of Lee et al. 2022 ("Deduplicating Training
-Data Makes Language Models Better"), but shuffle-partitioned by gram key
-instead of globally sorted.
+The winnowed index is O(total caption chars / w) rows — cf. the corpus-level
+suffix-array dedup of Lee et al. 2022 ("Deduplicating Training Data Makes
+Language Models Better"), shuffle-partitioned by minimizer key instead of
+globally sorted. The index UDF emits EXPLODED numpy columns (one row per
+(doc, gram)), never per-row Python lists — at 10^8+ grams the object churn
+of list-valued rows dominates the stage.
 """
 
 from __future__ import annotations
@@ -30,7 +35,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    ArrayType,
+    BooleanType,
     LongType,
     StringType,
     StructField,
@@ -45,8 +50,8 @@ from dedup_spark.functions.suffix import containment_pairs
 _GRAMS_SCHEMA = StructType(
     [
         StructField("image_id", StringType(), False),
-        StructField("anchor", LongType(), True),
-        StructField("grams", ArrayType(LongType(), False), False),
+        StructField("gram", LongType(), False),
+        StructField("is_anchor", BooleanType(), False),
     ]
 )
 
@@ -56,7 +61,7 @@ _PAIRS_SCHEMA = StructType(
 
 
 def _gram_hashes_one(text: bytes, q: int) -> np.ndarray:
-    """Distinct 64-bit hashes of all q-byte grams, vectorized sliding window."""
+    """64-bit hashes of all q-byte grams in order, vectorized sliding window."""
     arr = np.frombuffer(text, dtype=np.uint8)
     if len(arr) < q:
         return np.empty(0, dtype=np.uint64)
@@ -64,28 +69,49 @@ def _gram_hashes_one(text: bytes, q: int) -> np.ndarray:
     h = np.zeros(win.shape[0], dtype=np.uint64)
     for c in range(q):
         h = splitmix64(h ^ win[:, c])
-    return np.unique(h)
+    return h
+
+
+def _winnowed(h: np.ndarray, w: int) -> np.ndarray:
+    """Distinct window-minimum values over windows of w consecutive grams."""
+    if len(h) < w:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(np.lib.stride_tricks.sliding_window_view(h, w).min(axis=1))
 
 
 def gram_index(sigs: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
-    """(image_id, anchor, grams) for captions long enough to be contained."""
-    q = cfg.suffix_min_len
+    """Winnowed gram index: one row per (doc, minimizer gram), exploded."""
+    q, w, min_len = cfg.suffix_gram_q, cfg.suffix_window, cfg.suffix_min_len
+    assert min_len >= q + w - 1, "minimizer containment guarantee broken"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, anchors, grams = [], [], []
+            parts: list[np.ndarray] = []
+            rep_ids: list[str] = []
+            rep_counts: list[int] = []
+            anchor_flags: list[np.ndarray] = []
             for iid, norm in zip(pdf["image_id"], pdf["caption_norm"]):
                 b = norm.encode("utf-8")
-                g = _gram_hashes_one(b, q)
-                if len(g) == 0:
+                g = _winnowed(_gram_hashes_one(b, q), w)
+                if not len(g):
                     continue
-                first = _gram_hashes_one(b[:q], q)
-                ids.append(iid)
-                anchors.append(int(to_signed64(first)[0]) if len(first) else None)
-                grams.append(to_signed64(g).tolist())
+                flags = np.zeros(len(g), dtype=bool)
+                if len(b) >= min_len:
+                    flags[np.argmin(g)] = True  # global min = the anchor
+                parts.append(g)
+                anchor_flags.append(flags)
+                rep_ids.append(iid)
+                rep_counts.append(len(g))
+            if not parts:
+                continue
             yield pd.DataFrame(
-                {"image_id": ids, "anchor": anchors, "grams": grams},
-                columns=["image_id", "anchor", "grams"],
+                {
+                    "image_id": np.repeat(
+                        np.array(rep_ids, dtype=object), rep_counts
+                    ),
+                    "gram": to_signed64(np.concatenate(parts)),
+                    "is_anchor": np.concatenate(anchor_flags),
+                }
             )
 
     from dedup_spark.session import py_parallelism
@@ -105,19 +131,14 @@ def containment_candidates(
     Membership: (gram, image_id, is_pattern) — holders of each anchor gram
     plus the anchored pattern docs themselves.
     """
-    holders = gram_df.select(
-        "image_id", F.explode("grams").alias("gram")
+    # keep only grams that are someone's anchor: semi-join prunes the
+    # winnowed index to the tiny fraction that can seed a containment group.
+    # anchor rows double as pattern markers (a pattern's anchor is by
+    # construction also one of its own winnowed grams).
+    anchor_keys = gram_df.where("is_anchor").select("gram").distinct()
+    both = gram_df.join(anchor_keys, "gram", "left_semi").select(
+        "gram", "image_id", F.col("is_anchor").alias("is_pattern")
     )
-    anchors = gram_df.where(F.col("anchor").isNotNull()).select(
-        F.col("anchor").alias("gram"), F.col("image_id")
-    )
-    # keep only grams that are someone's anchor: semi-join prunes the index
-    # to the tiny fraction that can seed a containment group
-    anchor_keys = anchors.select("gram").distinct()
-    members = holders.join(anchor_keys, "gram", "left_semi")
-    pat = anchors.withColumn("is_pattern", F.lit(True))
-    mem = members.withColumn("is_pattern", F.lit(False))
-    both = pat.unionByName(mem)
 
     sizes = both.groupBy("gram").agg(F.count("*").alias("n"))
     skipped = sizes.where(F.col("n") > group_cap)

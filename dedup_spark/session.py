@@ -68,7 +68,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "8g")
+        .config("spark.driver.memory", "24g")  # local mode: one JVM carries
+        # every concurrent task's scan/shuffle buffers; an 8g heap at 32
+        # tasks GC-thrashed JVM stages with multi-second random inflation
+        #
+        # payload rows are ~7KB of binary, so the default 4096-row vectorized
+        # reader batch is a ~28MB humongous allocation per task per batch —
+        # at 32 concurrent tasks G1 collapsed (a warm 2.8GB scan-count took
+        # 14.5s at 32 cores vs 2.2s at 8). 256-row batches → ~1.7s at 32.
+        .config("spark.sql.parquet.columnarReaderBatchSize", "256")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

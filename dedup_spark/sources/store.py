@@ -104,18 +104,34 @@ class ParquetStore:
             return [json.loads(line) for line in f if line.strip()]
 
     def _write_metrics(self, name: str, out: DataFrame) -> int:
-        """Write the per-partition metrics rows; returns total row count
-        (summed from the same aggregate — one job covers both)."""
-        m = (
-            out.groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(F.count("*").alias("rows_out"))
-            .withColumn("stage", F.lit(name))
-            .withColumn("run_id", F.lit(self.run_id))
-        ).cache()
-        m.write.mode("append").parquet(os.path.join(self.root, "t_metrics"))
-        total = m.agg(F.sum("rows_out")).collect()[0][0] or 0
-        m.unpersist()
-        return int(total)
+        """Per-partition metrics + total rows from the committed parquet
+        FOOTERS — driver-side file metadata reads, zero Spark jobs. A
+        metrics job per stage (~1-2s each) was a large share of the
+        pipeline's fixed overhead; the footers carry the same per-file
+        (= per-partition) row counts the job would compute."""
+        import glob as _glob
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        files = sorted(
+            f
+            for f in _glob.glob(os.path.join(self._table_dir(name), "part-*"))
+            if not f.endswith(".crc")
+        )
+        rows = [pq.read_metadata(f).num_rows for f in files]
+        tbl = pa.table(
+            {
+                "partition_id": pa.array(range(len(rows)), pa.int32()),
+                "rows_out": pa.array(rows, pa.int64()),
+                "stage": pa.array([name] * len(rows)),
+                "run_id": pa.array([self.run_id] * len(rows)),
+            }
+        )
+        mdir = os.path.join(self.root, "t_metrics")
+        os.makedirs(mdir, exist_ok=True)
+        pq.write_table(tbl, os.path.join(mdir, f"{name}-{self.run_id}.parquet"))
+        return int(sum(rows))
 
     def metrics(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(os.path.join(self.root, "t_metrics"))
@@ -156,6 +172,20 @@ class IcebergStore(ParquetStore):
 
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         return spark.read.table(f"{self.catalog_ns}.{name}")
+
+    def _write_metrics(self, name: str, out: DataFrame) -> int:
+        """Iceberg tables have no local part-files; compute the partition
+        metrics with one Spark aggregate over the committed snapshot."""
+        m = (
+            out.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count("*").alias("rows_out"))
+            .withColumn("stage", F.lit(name))
+            .withColumn("run_id", F.lit(self.run_id))
+        ).cache()
+        m.write.mode("append").parquet(os.path.join(self.root, "t_metrics"))
+        total = m.agg(F.sum("rows_out")).collect()[0][0] or 0
+        m.unpersist()
+        return int(total)
 
 
 def make_store(
