@@ -239,6 +239,22 @@ def _ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # B26 metrics cube: ROLLUP grouping sets (event_type, lang-less hierarchy)
+    return (
+        _events(spark, sf_dir)
+        .rollup("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("__ALL__")).alias("event_type"),
+            "n", "sum_value",
+        )
+    )
+
+
 def _embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # brute-force cosine top-10 for query vectors (vec_id < 8); the O(Q*N)
     # baseline ANN — the LSH-bucketed scale path is `embedding_lsh_ann`
@@ -327,6 +343,48 @@ def _images_resized_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pixel_psnr_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # B37 / input_hint per-row invariant: decode the stored payload, push the
+    # pixels through the lossy qraw codec cycle, and assert PSNR >= 40dB —
+    # the decoded-pixel invariant machinery on a real lossy round-trip
+    # (already-quantized qraw rows re-quantize losslessly -> 99dB sentinel);
+    # mapInPandas, bytes touched once
+    from pyspark.sql.types import (
+        BooleanType, DoubleType, StringType, StructField, StructType,
+    )
+    from dedup_spark.sources.gen_images import gen_images
+
+    schema = StructType([
+        StructField("image_id", StringType()),
+        StructField("fmt", StringType()),
+        StructField("psnr_db", DoubleType()),
+        StructField("ok", BooleanType()),
+    ])
+
+    def run(batches):
+        from dedup_spark.functions.codecs import decode, encode, psnr_db
+
+        for pdf in batches:
+            rows = {"image_id": [], "fmt": [], "psnr_db": [], "ok": []}
+            for iid, data, w, h, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+            ):
+                px = decode(fmt, data, int(w), int(h))
+                lossy = decode("qraw", encode("qraw", px), int(w), int(h))
+                p = psnr_db(px, lossy)
+                p = 99.0 if p == float("inf") else round(p, 3)
+                rows["image_id"].append(iid)
+                rows["fmt"].append(fmt)
+                rows["psnr_db"].append(p)
+                rows["ok"].append(p >= 40.0)
+            yield pd.DataFrame(rows)
+
+    imgs = gen_images(spark, 300, 7).where("w > 0")
+    return imgs.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        run, schema=schema
+    )
+
+
 def _image_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multimodal: decode → fixed-width feature extraction (mean/std RGB,
     # luma histogram, edge density) — map-only, bytes touched once
@@ -386,6 +444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _token_counts,                        # text analysis
         "doc_fingerprint": _doc_fingerprint,                  # text analysis
         "lang_stopword_profile": _lang_stopword_profile,      # text analysis
+        "events_rollup_cube": _events_rollup_cube,            # B26 rollup
         "ngram_jaccard_pairs": _ngram_jaccard_pairs,          # near-dup scan
         "embedding_topk": _embedding_topk,                    # ANN baseline
         # rows-only (UDF-bearing; correctness in pytest goldens)
@@ -396,6 +455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_ann": _embedding_lsh_ann,              # ANN scale path
         "images_resized_thumbs": _images_resized_thumbs,      # multimodal resize
         "image_feature_vectors": _image_feature_vectors,      # multimodal features
+        "pixel_psnr_invariant": _pixel_psnr_invariant,        # B37 invariant
     }
 
 
@@ -508,6 +568,12 @@ def oracle_sql() -> dict[str, str]:
                            AS jaccard
                 FROM g x JOIN g y ON x.source = y.source AND x.doc_id < y.doc_id)
             WHERE jaccard >= 0.2
+        """,
+        "events_rollup_cube": """
+            SELECT coalesce(event_type, '__ALL__') AS event_type,
+                   count(*) AS n,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY ROLLUP (event_type)
         """,
         "embedding_topk": """
             WITH e AS (SELECT vec_id, embedding FROM embeddings),

@@ -51,9 +51,10 @@ _GRAMS_SCHEMA = StructType(
     [
         StructField("image_id", StringType(), False),
         StructField("gram", LongType(), False),
-        StructField("is_anchor", BooleanType(), False),
     ]
 )
+
+_ANCHOR_SCHEMA = _GRAMS_SCHEMA
 
 _PAIRS_SCHEMA = StructType(
     [StructField("a", StringType(), False), StructField("b", StringType(), False)]
@@ -89,17 +90,12 @@ def gram_index(sigs: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFra
             parts: list[np.ndarray] = []
             rep_ids: list[str] = []
             rep_counts: list[int] = []
-            anchor_flags: list[np.ndarray] = []
             for iid, norm in zip(pdf["image_id"], pdf["caption_norm"]):
                 b = norm.encode("utf-8")
                 g = _winnowed(_gram_hashes_one(b, q), w)
                 if not len(g):
                     continue
-                flags = np.zeros(len(g), dtype=bool)
-                if len(b) >= min_len:
-                    flags[np.argmin(g)] = True  # global min = the anchor
                 parts.append(g)
-                anchor_flags.append(flags)
                 rep_ids.append(iid)
                 rep_counts.append(len(g))
             if not parts:
@@ -110,7 +106,6 @@ def gram_index(sigs: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFra
                         np.array(rep_ids, dtype=object), rep_counts
                     ),
                     "gram": to_signed64(np.concatenate(parts)),
-                    "is_anchor": np.concatenate(anchor_flags),
                 }
             )
 
@@ -123,21 +118,66 @@ def gram_index(sigs: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFra
     )
 
 
+def anchor_index(sigs: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """One row per containment-eligible doc: its global-minimum gram.
+
+    Tiny (≤ one row per doc) — a second cheap hashing pass over captions
+    buys consuming the big winnowed index exactly ONCE downstream, with the
+    anchor side broadcast into the semi-join instead of checkpointing and
+    shuffling the full index.
+    """
+    q, w, min_len = cfg.suffix_gram_q, cfg.suffix_window, cfg.suffix_min_len
+    assert min_len >= q + w - 1, "minimizer containment guarantee broken"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[str] = []
+            grams: list[int] = []
+            for iid, norm in zip(pdf["image_id"], pdf["caption_norm"]):
+                b = norm.encode("utf-8")
+                if len(b) < min_len:
+                    continue
+                h = _gram_hashes_one(b, q)
+                if len(h) < w:
+                    continue
+                ids.append(iid)
+                grams.append(int(to_signed64(h.min(keepdims=True))[0]))
+            yield pd.DataFrame({"image_id": ids, "gram": grams})
+
+    from dedup_spark.session import py_parallelism
+
+    return (
+        sigs.select("image_id", "caption_norm")
+        .coalesce(py_parallelism(sigs.sparkSession))
+        .mapInPandas(run, schema=_ANCHOR_SCHEMA)
+    )
+
+
 def containment_candidates(
-    gram_df: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG, group_cap: int = 1000
+    gram_df: DataFrame,
+    anchors: DataFrame,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    group_cap: int = 1000,
 ) -> tuple[DataFrame, DataFrame]:
     """→ (group membership rows, skipped-group log).
 
-    Membership: (gram, image_id, is_pattern) — holders of each anchor gram
-    plus the anchored pattern docs themselves.
+    Membership: (gram, image_id) — holders of each anchor gram (pattern
+    docs are members of their own anchor group by construction: a doc's
+    anchor is one of its own winnowed grams).
+
+    The anchor-key side is BROADCAST: one slim row per eligible doc, so at
+    sandbox scale the big winnowed index is never shuffled for this join.
+    At trillion-row scale the broadcast no longer fits and this becomes a
+    plain shuffled semi-join — drop the hint, same plan shape.
     """
-    # keep only grams that are someone's anchor: semi-join prunes the
-    # winnowed index to the tiny fraction that can seed a containment group.
-    # anchor rows double as pattern markers (a pattern's anchor is by
-    # construction also one of its own winnowed grams).
-    anchor_keys = gram_df.where("is_anchor").select("gram").distinct()
-    both = gram_df.join(anchor_keys, "gram", "left_semi").select(
-        "gram", "image_id", F.col("is_anchor").alias("is_pattern")
+    anchor_keys = anchors.select("gram").distinct()
+    # checkpoint the PRUNED membership (a small fraction of the index): it
+    # is consumed twice below (size census + viable filter), and without a
+    # barrier each action would re-run the winnowing UDF end to end
+    both = (
+        gram_df.join(F.broadcast(anchor_keys), "gram", "left_semi")
+        .select("gram", "image_id")
+        .localCheckpoint()
     )
 
     sizes = both.groupBy("gram").agg(F.count("*").alias("n"))
@@ -216,10 +256,11 @@ def containment_stage(
 ) -> tuple[DataFrame, DataFrame]:
     """sigs → (containment pairs (a,b), skipped-group log).
 
-    The gram index is localCheckpoint'd: it feeds both the holder explode and
-    the anchor extraction, and mapInPandas cannot column-prune, so an
-    unmaterialized index would run the sliding-window UDF twice per action.
+    The big winnowed index is consumed exactly once (broadcast semi-join
+    against the tiny anchor table), so it is never checkpointed or shuffled
+    whole — see anchor_index.
     """
-    gi = gram_index(sigs, cfg).localCheckpoint()
-    membership, skipped = containment_candidates(gi, cfg, group_cap)
+    gi = gram_index(sigs, cfg)
+    anchors = anchor_index(sigs, cfg)
+    membership, skipped = containment_candidates(gi, anchors, cfg, group_cap)
     return containment_pairs_df(membership, sigs, cfg), skipped

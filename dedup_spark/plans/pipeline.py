@@ -79,14 +79,22 @@ def run_pipeline(
     # UDF — with the validity predicates pushed into that same scan. Copying
     # a 100TB input into a t_valid table would double the pipeline's I/O for
     # zero resume value (t_sigs is the first checkpoint that matters).
-    stage("t_invalid", lambda: validity.invalid_rows(images))
-
     from dedup_spark.operators.signatures import compute_signatures
 
     t_sigs = stage(
         "t_sigs",
         lambda: compute_signatures(
             validity.filter_valid(images), cfg, recompute_phash=recompute_phash
+        ),
+    )
+
+    # invalid-row diagnostics (S9 analog) by thin anti-join against the
+    # signature ids: reads ONLY pruned metadata columns of the input — the
+    # payload is scanned exactly once in this pipeline, by t_sigs above
+    stage(
+        "t_invalid",
+        lambda: images.select("image_id", "w", "h", "fmt").join(
+            t_sigs.select("image_id"), "image_id", "left_anti"
         ),
     )
 
