@@ -102,15 +102,31 @@ def _anti_join_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _prefix_rollup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # B24 hierarchical hash rollup: source = directory analog; dir digest =
-    # md5 over the sorted member digests (order-insensitive by construction)
+    # commutative multiset digest of member digests (sum/xor/count of 60-bit
+    # hex-prefix terms — O(1) agg state per group, never a collect_list over
+    # an unbounded group; mirrors operators.rollup.multiset_digest)
     return (
         _docs(spark, sf_dir)
         .select("source", F.md5(F.encode("text", "utf-8")).alias("h"))
         .groupBy("source")
         .agg(
-            F.md5(F.encode(F.concat_ws("", F.sort_array(F.collect_list("h"))), "utf-8")).alias(
-                "dir_digest"
-            ),
+            F.md5(
+                F.encode(
+                    F.concat_ws(
+                        ":",
+                        F.sum(
+                            F.conv(F.substring("h", 1, 15), 16, 10).cast(
+                                "decimal(38,0)"
+                            )
+                        ).cast("string"),
+                        F.expr(
+                            "bit_xor(cast(conv(substring(h,1,15),16,10) as bigint))"
+                        ).cast("string"),
+                        F.count("*").cast("string"),
+                    ),
+                    "utf-8",
+                )
+            ).alias("dir_digest"),
             F.count("*").cast("long").alias("n_members"),
         )
     )
@@ -512,7 +528,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "prefix_rollup_docs": """
             SELECT source,
-                   md5(string_agg(h, '' ORDER BY h)) AS dir_digest,
+                   md5(sum((('0x' || substr(h, 1, 15))::BIGINT))::VARCHAR
+                       || ':' ||
+                       bit_xor(('0x' || substr(h, 1, 15))::BIGINT)::VARCHAR
+                       || ':' || count(*)::VARCHAR) AS dir_digest,
                    count(*) AS n_members
             FROM (SELECT source, md5(text) AS h FROM documents)
             GROUP BY source

@@ -164,8 +164,11 @@ def compute_golden(
         winners.add(min(comp, key=lambda x: (depth_of(x), x)))
 
     # --- prefix rollup: hierarchical dir digests, dup groups, subsumption ---
-    # dir digest = sha256 over the sorted digests of immediate children
-    # (child file → content digest, child dir → its dir digest); name-agnostic.
+    # dir digest = commutative multiset digest of immediate children's
+    # digests (child file → content digest, child dir → its dir digest);
+    # name-agnostic. MUST match operators.rollup.multiset_digest exactly:
+    # sha256(sum(term) ":" xor(term) ":" count),
+    # term = int(sha256(child_digest).hex[:15], 16).
     import hashlib
 
     children: dict[str, list[str]] = defaultdict(list)  # dir -> child keys
@@ -187,7 +190,14 @@ def compute_golden(
         subs = []
         for c in children.get(d, []):
             subs.append(dd(c) if c in children else file_digest[c])
-        dir_digest[d] = hashlib.sha256("".join(sorted(subs)).encode()).hexdigest()
+        terms = [
+            int(hashlib.sha256(h.encode()).hexdigest()[:15], 16) for h in subs
+        ]
+        x = 0
+        for t in terms:
+            x ^= t
+        blob = f"{sum(terms)}:{x}:{len(terms)}"
+        dir_digest[d] = hashlib.sha256(blob.encode()).hexdigest()
         return dir_digest[d]
 
     all_dirs = list(children.keys())
