@@ -12,14 +12,24 @@ orphan-rescue this
 - is EXACT within a bucket (no representative weak-link loss at all — the
   failure mode that forced the rescue pass for these families);
 - emits O(true matches) rows instead of O(bucket membership) candidates;
-- does Σ m² popcounts per band, bounded by the skew salting cap (a hot
-  bucket of k members costs k²/fanout vectorized popcounts in a worker, not
-  k²/fanout shuffled+joined candidate rows).
+- costs Σ m² popcounts per band with m bounded by the salting: Hamming
+  families salt with UNBOUNDED fanout = ceil(size/cap) (operators.skew), so
+  sub-buckets stay ≈ cap regardless of how hot the bucket is — worker
+  memory for the match matrix is O(cap²), a few KB. Defense in depth: a
+  sub-bucket above ``_MATRIX_MAX`` members (possible only under extreme
+  salt-hash imbalance) switches to blockwise label propagation that never
+  materializes an m×m matrix — O(block·m) peak memory, same exact output.
 
 Residual recall trade-off: a true pair inside a HOT bucket whose two rows
 land in different salt sub-buckets loses that bucket; recovery relies on the
 other bands/combos (28 for phash) and, for dense true clusters, on the
 transitive closure — asserted by the golden gate.
+
+Emitted spanning edges may join two members whose direct distance exceeds
+the family threshold (connectivity via intermediate members is what makes
+them one component); such rows carry ``spanning = true`` so pair-level
+consumers (reports, precision audits) can separate "verified direct match"
+from "component spanning link". Cluster output is identical either way.
 
 Batching mirrors operators.containment: repartition on the bucket key, sort
 within partitions, one mapInPandas whose batches carry many complete groups,
@@ -35,8 +45,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BooleanType,
     IntegerType,
-    LongType,
     StringType,
     StructField,
     StructType,
@@ -52,6 +62,7 @@ PAIRS_SCHEMA = StructType(
         StructField("b", StringType(), False),
         StructField("family", StringType(), False),
         StructField("hamming", IntegerType(), False),
+        StructField("spanning", BooleanType(), False),
     ]
 )
 
@@ -59,20 +70,73 @@ _POP = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(
     axis=1
 ).astype(np.uint16)
 
+# matrix path above this size would allocate O(m²) worker memory; switch to
+# the blockwise propagation (reachable only under severe salt imbalance)
+_MATRIX_MAX = 2048
+
+
+def _labels_matrix(hv: np.ndarray, thr: int) -> np.ndarray | None:
+    """Exact component labels via a materialized m×m match matrix."""
+    m = len(hv)
+    M = np.zeros((m, m), dtype=bool)
+    step = max(1, (1 << 20) // m)
+    for lo in range(0, m, step):
+        hi = min(lo + step, m)
+        x = hv[lo:hi, None] ^ hv[None, :]
+        bytes_ = x.view(np.uint8).reshape(hi - lo, m, 8)
+        d = _POP[bytes_].sum(axis=2)
+        M[lo:hi] = d <= thr
+    np.fill_diagonal(M, False)
+    if not M.any():
+        return None
+    labels = np.arange(m)
+    big = np.int64(m)
+    for _ in range(64):  # converges in <= graph diameter rounds
+        nbr = np.where(M, labels[None, :], big).min(axis=1)
+        new = np.minimum(labels, nbr)
+        new = np.minimum(new, new[new])  # pointer-jump
+        if np.array_equal(new, labels):
+            break
+        labels = new
+    return labels
+
+
+def _labels_blockwise(hv: np.ndarray, thr: int) -> np.ndarray | None:
+    """Same labels, O(block·m) memory: distances are recomputed per
+    propagation round instead of materializing the m×m matrix."""
+    m = len(hv)
+    labels = np.arange(m)
+    block = max(1, (1 << 22) // m)
+    big = np.int64(m)
+    changed_any = False
+    for _ in range(64):
+        new = labels.copy()
+        for lo in range(0, m, block):
+            hi = min(lo + block, m)
+            x = hv[lo:hi, None] ^ hv[None, :]
+            d = _POP[x.view(np.uint8).reshape(hi - lo, m, 8)].sum(axis=2)
+            match = d <= thr
+            match[np.arange(hi - lo), np.arange(lo, hi)] = False
+            nbr = np.where(match, labels[None, :], big).min(axis=1)
+            new[lo:hi] = np.minimum(new[lo:hi], nbr)
+        new = np.minimum(new, new[new])
+        if np.array_equal(new, labels):
+            break
+        labels = new
+        changed_any = True
+    return labels if changed_any else None
+
 
 def _bucket_edges(ids: np.ndarray, hv: np.ndarray, thr: int,
                   out: dict, family: str) -> None:
     """Emit a SPANNING edge set of the bucket's threshold graph.
 
-    The exact match matrix (popcount(hv_i ^ hv_j) <= thr) is computed
-    blockwise, then in-bucket connected components by vectorized min-label
-    propagation; each non-root member emits one edge to its component root.
-    A dense true cluster of m members costs m-1 emitted rows instead of
-    ~m²/2 — the downstream global CC only needs connectivity, and the
-    transitive closure it takes is identical. (A root edge may itself span
-    > thr; its component membership is still implied by true pairs, so
-    cluster assignments are unchanged — `hamming` reports that edge's real
-    distance for diagnostics.)
+    In-bucket connected components by vectorized min-label propagation;
+    each non-root member emits one edge to its component root. A dense true
+    cluster of m members costs m-1 emitted rows instead of ~m²/2 — the
+    downstream global CC only needs connectivity, and the transitive
+    closure it takes is identical. (A root edge may itself span > thr; it
+    is flagged ``spanning`` — see module docstring.)
     """
     m = len(ids)
     if m < 2:
@@ -85,38 +149,27 @@ def _bucket_edges(ids: np.ndarray, hv: np.ndarray, thr: int,
             out["b"].append(b)
             out["family"].append(family)
             out["hamming"].append(d)
+            out["spanning"].append(False)
         return
     order = np.argsort(ids)          # lexicographic root = deterministic
     ids = ids[order]
     hv = hv[order].astype(np.uint64)
-    M = np.zeros((m, m), dtype=bool)
-    step = max(1, (1 << 20) // m)
-    for lo in range(0, m, step):
-        hi = min(lo + step, m)
-        x = hv[lo:hi, None] ^ hv[None, :]
-        bytes_ = x.view(np.uint8).reshape(hi - lo, m, 8)
-        d = _POP[bytes_].sum(axis=2)
-        M[lo:hi] = d <= thr
-    np.fill_diagonal(M, False)
-    if not M.any():
+    labels = (
+        _labels_matrix(hv, thr) if m <= _MATRIX_MAX
+        else _labels_blockwise(hv, thr)
+    )
+    if labels is None:
         return
-    labels = np.arange(m)
-    big = np.int64(m)
-    for _ in range(64):  # converges in <= graph diameter rounds
-        nbr = np.where(M, labels[None, :], big).min(axis=1)
-        new = np.minimum(labels, nbr)
-        new = np.minimum(new, new[new])  # pointer-jump
-        if np.array_equal(new, labels):
-            break
-        labels = new
     members = np.nonzero(labels != np.arange(m))[0]
     for i in members:
         r = int(labels[i])
         x = int(np.uint64(hv[r]) ^ np.uint64(hv[i]))
+        d = bin(x).count("1")
         out["a"].append(ids[r])
         out["b"].append(ids[i])
         out["family"].append(family)
-        out["hamming"].append(bin(x).count("1"))
+        out["hamming"].append(d)
+        out["spanning"].append(d > thr)
 
 
 def hamming_family_pairs(
@@ -124,10 +177,12 @@ def hamming_family_pairs(
     thresholds: dict[str, int] | None = None,
     cfg: PipelineConfig = DEFAULT_CONFIG,
 ) -> DataFrame:
-    """salted band rows (hamming families) → verified (a, b, family, hamming).
+    """salted band rows (hamming families) → verified
+    (a, b, family, hamming, spanning).
 
     Distinct over (a, b): a pair passing in several bands/families reports
-    its smallest distance once.
+    its smallest distance once (and that row's spanning flag — False
+    whenever any band verified the pair directly).
     """
     if thresholds is None:
         thresholds = {
@@ -144,7 +199,7 @@ def hamming_family_pairs(
         # groupby would pay frame-construction per bucket. The batch arrives
         # sorted on the bucket key, so detect runs vectorized and slice.
         # (One image appears at most once per bucket by construction.)
-        out = {"a": [], "b": [], "family": [], "hamming": []}
+        out = {"a": [], "b": [], "family": [], "hamming": [], "spanning": []}
         n = len(pdf)
         fam = pdf["family"].to_numpy()
         bi = pdf["band_idx"].to_numpy()
@@ -198,5 +253,6 @@ def hamming_family_pairs(
         .agg(
             F.min_by("family", "hamming").alias("family"),
             F.min("hamming").cast("int").alias("hamming"),
+            F.min_by("spanning", "hamming").alias("spanning"),
         )
     )

@@ -106,14 +106,18 @@ def run_pipeline(
     # materialization barrier costs.
     t_exact_edges = exact.exact_edges(t_sigs)
 
+    # t_salted IS a checkpoint: it carries the banding+salt shuffle and is
+    # consumed three times (hamming verifier, star pass, orphan rescue).
+    # The skew report is derived FROM the materialized table afterwards —
+    # one tiny groupBy over committed parquet instead of re-running banding.
     def _salted():
-        salted, skew_report = skew.salted_bands(banding.band_table(t_sigs, cfg), cfg)
-        stage("t_skew_report", lambda: skew_report)
+        salted, _ = skew.salted_bands(banding.band_table(t_sigs, cfg), cfg)
         return salted
 
-    # t_salted IS a checkpoint: it carries the census+salt shuffle and is
-    # consumed three times (hamming verifier, star pass, orphan rescue)
     t_salted = stage("t_salted", _salted)
+    stage(
+        "t_skew_report", lambda: skew.skew_report_from_salted(t_salted, cfg)
+    )
 
     # Hamming families (simhash, phash) verify EXACTLY inside their buckets —
     # numpy popcount per salted group, no candidate rows, no rescue needed

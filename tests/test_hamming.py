@@ -36,7 +36,7 @@ def test_bucket_edges_components_match_bruteforce(seed, m, thr):
         vals.append(np.uint64(b))
     hv = np.array(vals, dtype=np.uint64)
     ids = np.array([f"n{i:03d}" for i in range(m)])
-    out = {"a": [], "b": [], "family": [], "hamming": []}
+    out = {"a": [], "b": [], "family": [], "hamming": [], "spanning": []}
     _bucket_edges(ids.copy(), hv.copy(), thr, out, "simhash")
 
     g = nx.Graph()
@@ -76,3 +76,76 @@ def test_hamming_family_pairs_spark(spark):
     exp_ids = {frozenset(f"i{i:04d}" for i in c) for c in exp}
     assert comp == exp_ids
     assert (out.hamming >= 0).all()
+
+
+def test_blockwise_labels_match_matrix_path():
+    """The O(block·m)-memory fallback is label-identical to the matrix path."""
+    from dedup_spark.operators.hamming import _labels_blockwise, _labels_matrix
+
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 2**63, size=40, dtype=np.uint64)
+    vals = []
+    for _ in range(500):
+        b = base[rng.integers(0, len(base))]
+        for f in rng.integers(0, 64, size=rng.integers(0, 6)):
+            b = np.uint64(b) ^ np.uint64(1 << int(f))
+        vals.append(b)
+    hv = np.array(vals, dtype=np.uint64)
+    for thr in (0, 4, 10):
+        lm = _labels_matrix(hv, thr)
+        lb = _labels_blockwise(hv, thr)
+        if lm is None or lb is None:
+            assert lm is None and lb is None
+        else:
+            assert np.array_equal(lm, lb)
+
+
+def test_spanning_flag_marks_above_threshold_root_edges():
+    """A chain a—b—c (each link ≤ thr, a—c > thr) emits c→root(a) flagged."""
+    from dedup_spark.operators.hamming import _bucket_edges
+
+    a = np.uint64(0)
+    b = np.uint64((1 << 3) - 1)          # hamming(a,b)=3
+    c = np.uint64((1 << 6) - 1)          # hamming(b,c)=3, hamming(a,c)=6
+    ids = np.array(["a", "b", "c"])
+    hv = np.array([a, b, c], dtype=np.uint64)
+    out = {"a": [], "b": [], "family": [], "hamming": [], "spanning": []}
+    _bucket_edges(ids, hv, 3, out, "simhash")
+    rows = {(x, y): (h, s) for x, y, h, s in
+            zip(out["a"], out["b"], out["hamming"], out["spanning"])}
+    assert rows[("a", "b")] == (3, False)
+    assert rows[("a", "c")] == (6, True)  # root edge spans > thr, flagged
+
+
+def test_planted_hot_bucket_bounded_memory(spark):
+    """VERDICT r1 #4 'done' criterion: a planted hot bucket far above the
+    old salt_fanout ceiling completes with sub-buckets ≈ cap (unbounded
+    Hamming fanout) and still links the planted near-dup pairs."""
+    from dedup_spark.config import DEFAULT_CONFIG
+    from dedup_spark.operators.skew import salted_bands
+
+    n = 100_000
+    rng = np.random.default_rng(3)
+    base = np.uint64(0x5A5A5A5A5A5A5A5A)
+    hv = []
+    for i in range(n):
+        v = base
+        for f in rng.integers(0, 64, size=rng.integers(0, 3)):
+            v = np.uint64(v) ^ np.uint64(1 << int(f))
+        hv.append(int(np.int64(v)))
+    pdf = pd.DataFrame({
+        "image_id": [f"i{i:06d}" for i in range(n)],
+        "family": "simhash", "band_idx": 0, "band_key": 7,
+        "hval": hv,
+    })
+    bands = spark.createDataFrame(pdf)
+    salted, report = salted_bands(bands, DEFAULT_CONFIG)
+    rep = report.toPandas()
+    assert len(rep) == 1
+    # fanout must NOT be clipped at salt_fanout=16 for a Hamming family
+    assert rep.fanout[0] >= n // DEFAULT_CONFIG.bucket_cap
+    sizes = salted.groupBy("salt").count().toPandas()["count"]
+    assert sizes.max() <= DEFAULT_CONFIG.bucket_cap * 3  # ≈ cap, hash jitter
+    out = hamming_family_pairs(salted, {"simhash": 8})
+    # every sub-bucket is a near-clique of the planted base → ~n-fanout edges
+    assert out.count() > n * 0.9
