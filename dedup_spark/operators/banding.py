@@ -78,9 +78,13 @@ def band_table(sigs: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFra
     (``hval``) so the in-bucket exact verifier (operators.hamming) needs no
     join back to signatures; minhash rows set it null (their verification is
     Jaccard over shingle sets, which stays in operators.verify)."""
-    assert cfg.phash_hamming_max <= cfg.phash_bands - cfg.phash_combo_r, (
-        "phash combo banding would lose the pigeonhole recall guarantee"
-    )
+    # hard error, not assert: this recall invariant must survive python -O
+    if cfg.phash_hamming_max > cfg.phash_bands - cfg.phash_combo_r:
+        raise ValueError(
+            "phash combo banding would lose the pigeonhole recall guarantee:"
+            f" hamming_max={cfg.phash_hamming_max} >"
+            f" bands-r={cfg.phash_bands - cfg.phash_combo_r}"
+        )
     with_caption = sigs.where(F.col("n_shingles") > 0)
     mh = with_caption.select(
         "image_id", F.posexplode("minhash_bands").alias("band_idx", "band_key")

@@ -83,7 +83,11 @@ def _winnowed(h: np.ndarray, w: int) -> np.ndarray:
 def gram_index(sigs: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
     """Winnowed gram index: one row per (doc, minimizer gram), exploded."""
     q, w, min_len = cfg.suffix_gram_q, cfg.suffix_window, cfg.suffix_min_len
-    assert min_len >= q + w - 1, "minimizer containment guarantee broken"
+    if min_len < q + w - 1:  # hard error: must survive python -O
+        raise ValueError(
+            "minimizer containment guarantee broken:"
+            f" suffix_min_len={min_len} < gram_q+window-1={q + w - 1}"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -127,7 +131,11 @@ def anchor_index(sigs: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataF
     shuffling the full index.
     """
     q, w, min_len = cfg.suffix_gram_q, cfg.suffix_window, cfg.suffix_min_len
-    assert min_len >= q + w - 1, "minimizer containment guarantee broken"
+    if min_len < q + w - 1:  # hard error: must survive python -O
+        raise ValueError(
+            "minimizer containment guarantee broken:"
+            f" suffix_min_len={min_len} < gram_q+window-1={q + w - 1}"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -46,6 +46,21 @@ MALLOC_TUNING = {
 }
 
 
+def _default_driver_memory() -> str:
+    """~1/5 of host RAM, clamped to [2g, 24g]; SPARK_GRAFT_DRIVER_MEM wins.
+
+    Callers needing more pass extra_conf={"spark.driver.memory": ...}."""
+    override = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if override:
+        return override
+    try:
+        pages = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+        gb = pages // (1 << 30)
+    except (ValueError, OSError):
+        gb = 8
+    return f"{max(2, min(24, int(gb // 5)))}g"
+
+
 def get_spark(
     app: str = "dedup_spark",
     master: str | None = None,
@@ -68,9 +83,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "24g")  # local mode: one JVM carries
-        # every concurrent task's scan/shuffle buffers; an 8g heap at 32
-        # tasks GC-thrashed JVM stages with multi-second random inflation
+        .config("spark.driver.memory", _default_driver_memory())
+        # local mode: one JVM carries every concurrent task's scan/shuffle
+        # buffers; an 8g heap at 32 tasks GC-thrashed JVM stages with
+        # multi-second random inflation. Sized from host RAM (~1/5, capped
+        # at 24g) so smaller hosts don't fail to launch or swap.
         #
         # payload rows are ~7KB of binary, so the default 4096-row vectorized
         # reader batch is a ~28MB humongous allocation per task per batch —

@@ -108,15 +108,23 @@ class ParquetStore:
         FOOTERS — driver-side file metadata reads, zero Spark jobs. A
         metrics job per stage (~1-2s each) was a large share of the
         pipeline's fixed overhead; the footers carry the same per-file
-        (= per-partition) row counts the job would compute."""
+        (= per-partition) row counts the job would compute.
+
+        The footer fast path only works when the store root is a LOCAL
+        directory; for object-store roots (--store-root s3://…) the glob
+        would silently return nothing and record rows=0, so fall back to
+        the Spark-side aggregate used by IcebergStore."""
         import glob as _glob
 
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        tdir = self._table_dir(name)
+        if not os.path.isdir(tdir):
+            return self._spark_metrics(name, out)
         files = sorted(
             f
-            for f in _glob.glob(os.path.join(self._table_dir(name), "part-*"))
+            for f in _glob.glob(os.path.join(tdir, "part-*"))
             if not f.endswith(".crc")
         )
         rows = [pq.read_metadata(f).num_rows for f in files]
@@ -132,6 +140,20 @@ class ParquetStore:
         os.makedirs(mdir, exist_ok=True)
         pq.write_table(tbl, os.path.join(mdir, f"{name}-{self.run_id}.parquet"))
         return int(sum(rows))
+
+    def _spark_metrics(self, name: str, out: DataFrame) -> int:
+        """One Spark aggregate over the committed table — works on any
+        filesystem (the fallback for non-local roots and Iceberg)."""
+        m = (
+            out.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count("*").alias("rows_out"))
+            .withColumn("stage", F.lit(name))
+            .withColumn("run_id", F.lit(self.run_id))
+        ).cache()
+        m.write.mode("append").parquet(os.path.join(self.root, "t_metrics"))
+        total = m.agg(F.sum("rows_out")).collect()[0][0] or 0
+        m.unpersist()
+        return int(total)
 
     def metrics(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(os.path.join(self.root, "t_metrics"))
@@ -176,16 +198,7 @@ class IcebergStore(ParquetStore):
     def _write_metrics(self, name: str, out: DataFrame) -> int:
         """Iceberg tables have no local part-files; compute the partition
         metrics with one Spark aggregate over the committed snapshot."""
-        m = (
-            out.groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(F.count("*").alias("rows_out"))
-            .withColumn("stage", F.lit(name))
-            .withColumn("run_id", F.lit(self.run_id))
-        ).cache()
-        m.write.mode("append").parquet(os.path.join(self.root, "t_metrics"))
-        total = m.agg(F.sum("rows_out")).collect()[0][0] or 0
-        m.unpersist()
-        return int(total)
+        return self._spark_metrics(name, out)
 
 
 def make_store(

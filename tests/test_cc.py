@@ -48,3 +48,55 @@ def test_cc_chain_and_star(spark):
     assert {got[f"c{i:03d}"] for i in range(41)} == {"c000"}
     assert {got[f"s{i:03d}"] for i in range(30)} == {"s000"}
     assert got["lonely"] == "lonely"
+
+
+@pytest.mark.parametrize("local_threshold", [0, 5_000_000])
+def test_cc_paths_agree(spark, local_threshold):
+    """The single-task union-find and the iterative large/small-star path
+    produce identical assignments (local_threshold=0 forces iteration)."""
+    rng = np.random.default_rng(9)
+    n = 120
+    nodes = [f"n{i:03d}" for i in range(n)]
+    edges = []
+    for _ in range(150):
+        i, j = rng.integers(0, n, size=2)
+        if i != j:
+            edges.append((nodes[min(i, j)], nodes[max(i, j)]))
+    e_df = spark.createDataFrame(pd.DataFrame(edges, columns=["a", "b"]))
+    n_df = spark.createDataFrame(pd.DataFrame({"image_id": nodes}))
+    out = connected_components(
+        e_df, n_df, local_threshold=local_threshold
+    ).toPandas()
+    got = dict(zip(out.image_id, out.cluster_id))
+    g = nx.Graph()
+    g.add_nodes_from(nodes)
+    g.add_edges_from(edges)
+    exp = {x: min(c) for c in nx.connected_components(g) for x in c}
+    assert got == exp
+
+
+def test_numpy_components_random_graphs():
+    from dedup_spark.operators.cc import _numpy_components
+
+    rng = np.random.default_rng(21)
+    for _ in range(25):
+        n = int(rng.integers(2, 200))
+        m = int(rng.integers(1, 400))
+        a = rng.integers(0, n, size=m)
+        b = rng.integers(0, n, size=m)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        if not len(a):
+            continue
+        ids = np.array([f"x{v:04d}" for v in range(n)])
+        out = _numpy_components(ids[a], ids[b])
+        got = dict(zip(out.image_id, out.cluster_id))
+        g = nx.Graph()
+        g.add_edges_from(zip(ids[a], ids[b]))
+        exp = {}
+        for comp in nx.connected_components(g):
+            root = min(comp)
+            for x in comp:
+                if x != root:
+                    exp[x] = root
+        assert got == exp
