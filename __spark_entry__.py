@@ -302,6 +302,63 @@ def _embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # gap-based sessionization (stateful-window operator class): a session
+    # breaks after >2h of user inactivity; session_idx = running count of
+    # breaks — lag + cumulative sum over one (user_id, ts) window ordering,
+    # so the whole operator is ONE shuffle on user_id
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_s = F.when(gap.isNull() | (gap > 7200), 1).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        _events(spark, sf_dir)
+        .withColumn("session_idx", F.sum(new_s).over(run))
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def _docs_above_source_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-doc enrichment against a tiny aggregated dimension — the dim side
+    # is explicitly broadcast (a handful of sources), so the big side never
+    # shuffles: the canonical small-dim join layout at 10^12 rows
+    d = _docs(spark, sf_dir)
+    dim = d.groupBy("source").agg(F.avg("n_chars").alias("avg_chars"))
+    return (
+        d.join(F.broadcast(dim), "source")
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            (F.col("n_chars") > F.col("avg_chars")).alias("above_avg"),
+        )
+    )
+
+
+def _event_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # semi-structured extraction: pull props.$.k out of the JSON column and
+    # aggregate — get_json_object stays JVM-side (no UDF)
+    return (
+        _events(spark, sf_dir)
+        .select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # rows-only registry entries (UDF-bearing engine stages; pytest carries the
 # real correctness gate — SURVEY.md §5 layers 1-2)
@@ -484,6 +541,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup_cube": _events_rollup_cube,            # B26 rollup
         "ngram_jaccard_pairs": _ngram_jaccard_pairs,          # near-dup scan
         "embedding_topk": _embedding_topk,                    # ANN baseline
+        "event_sessionization": _event_sessionization,        # gap sessions
+        "docs_above_source_avg": _docs_above_source_avg,      # broadcast dim join
+        "event_props_extract": _event_props_extract,          # JSON extraction
         # rows-only (UDF-bearing; correctness in pytest goldens)
         "docs_near_dup_clusters": _docs_near_dup_clusters,    # B10-B36 slice
         "docs_minhash_signatures": _docs_minhash_signatures,  # B10-B12
@@ -615,6 +675,42 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    round(sum(value), 4) AS sum_value
             FROM events GROUP BY ROLLUP (event_type)
+        """,
+        "event_sessionization": """
+            SELECT user_id, session_idx, count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM (
+                SELECT user_id, value,
+                       (sum(new_s) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING))::BIGINT
+                           AS session_idx
+                FROM (
+                    SELECT user_id, ts, event_id, value,
+                           CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id)
+                                    IS NULL
+                                  OR epoch(ts) - epoch(lag(ts) OVER (
+                                        PARTITION BY user_id
+                                        ORDER BY ts, event_id)) > 7200
+                                THEN 1 ELSE 0 END AS new_s
+                    FROM events))
+            GROUP BY user_id, session_idx
+        """,
+        "docs_above_source_avg": """
+            SELECT d.doc_id, d.source, d.n_chars,
+                   d.n_chars > s.avg_chars AS above_avg
+            FROM documents d
+            JOIN (SELECT source, avg(n_chars) AS avg_chars
+                  FROM documents GROUP BY source) s
+              ON d.source = s.source
+        """,
+        "event_props_extract": """
+            SELECT event_type, count(*) AS n,
+                   sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT
+                       AS sum_k,
+                   max(json_extract_string(props, '$.k')::BIGINT) AS max_k
+            FROM events GROUP BY event_type
         """,
         "embedding_topk": """
             WITH e AS (SELECT vec_id, embedding FROM embeddings),

@@ -26,7 +26,7 @@ constant number of stages regardless of row count.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -89,9 +89,10 @@ def dir_digests(sigs: DataFrame) -> DataFrame:
             ).where(F.col("dir") != "")
             up = up.withColumn("level", F.size(F.split("dir", "/")))
             entries = rest.unionByName(up)
-        # materialize per level: the loop is driver-side and short (≤ depth),
-        # and each level's plan would otherwise nest the previous shuffles
-        entries = entries.localCheckpoint() if lvl > 1 else entries
+        # materialize per level for DEEP trees only: each level's plan nests
+        # the previous shuffles, but ≤3 levels of nesting is cheaper than a
+        # checkpoint job per level (exchange reuse covers the shared scans)
+        entries = entries.localCheckpoint() if lvl > 1 and max_level > 3 else entries
     if out is None:
         return sigs.sparkSession.createDataFrame(
             [], "dir string, dir_digest string, level int"
@@ -112,22 +113,31 @@ def dup_dirs(dirs: DataFrame) -> DataFrame:
 
     A dup dir with a dup-dir ancestor is subsumed — the reference reports
     only the outermost duplicated directory of a nested chain.
+
+    Shuffle shape: the dirs table has one row per DIRECTORY (orders of
+    magnitude below the image count), so group sizes come from windows (one
+    shuffle each, no agg+join round trip) and the dup-dir side of every
+    membership join is broadcast — at 10^12 images the dup-dir list is
+    bounded by distinct prefixes, and if it ever outgrew a broadcast the
+    joins degrade gracefully to shuffles.
     """
-    grouped = dirs.join(
-        dirs.groupBy("dir_digest").agg(F.count("*").alias("n_dirs")).where("n_dirs > 1"),
-        "dir_digest",
+    w = Window.partitionBy("dir_digest")
+    grouped = dirs.withColumn("n_dirs", F.count("*").over(w)).where(
+        "n_dirs > 1"
     )
     anc = grouped.select(
         "dir", "dir_digest", F.explode(_ancestors("dir")).alias("anc")
     )
     sub = anc.join(
-        grouped.select(F.col("dir").alias("anc")).distinct(), "anc", "left_semi"
+        F.broadcast(grouped.select(F.col("dir").alias("anc")).distinct()),
+        "anc",
+        "left_semi",
     ).select("dir").distinct()
-    outermost = grouped.join(sub, "dir", "left_anti")
+    outermost = grouped.join(F.broadcast(sub), "dir", "left_anti")
     # a group stays reportable only while ≥2 outermost members remain
-    sizes = outermost.groupBy("dir_digest").agg(F.count("*").alias("n_out"))
     return (
-        outermost.join(sizes.where("n_out > 1"), "dir_digest")
+        outermost.withColumn("n_out", F.count("*").over(w))
+        .where("n_out > 1")
         .select("dir", "dir_digest", "level")
     )
 
@@ -143,7 +153,7 @@ def suppressed_members(sigs: DataFrame, dup_dirs_df: DataFrame) -> DataFrame:
     )
     return (
         anc.join(
-            dup_dirs_df.select(F.col("dir").alias("anc")).distinct(),
+            F.broadcast(dup_dirs_df.select(F.col("dir").alias("anc")).distinct()),
             "anc",
             "left_semi",
         )
