@@ -302,6 +302,24 @@ def _embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # BPE-ish token estimator: word runs count ~1 token per ~4 chars
+    # (ceil), digits and punctuation 1 each — a standard cheap proxy for
+    # transformer token budgets over a corpus; all JVM-side regexp, no UDF
+    d = _docs(spark, sf_dir)
+    words = F.regexp_count("text", F.lit(r"[A-Za-z]+"))
+    word_chars = F.length(F.regexp_replace("text", r"[^A-Za-z]", ""))
+    other = F.regexp_count("text", F.lit(r"[0-9]|[^A-Za-z0-9\s]"))
+    est = F.ceil(word_chars / F.lit(4.0)).cast("long") + other.cast("long")
+    return d.select(
+        "doc_id",
+        words.cast("long").alias("n_word_runs"),
+        word_chars.cast("long").alias("n_word_chars"),
+        other.cast("long").alias("n_symbol_tokens"),
+        est.alias("est_bpe_tokens"),
+    )
+
+
 def _event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gap-based sessionization (stateful-window operator class): a session
     # breaks after >2h of user inactivity; session_idx = running count of
@@ -541,6 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup_cube": _events_rollup_cube,            # B26 rollup
         "ngram_jaccard_pairs": _ngram_jaccard_pairs,          # near-dup scan
         "embedding_topk": _embedding_topk,                    # ANN baseline
+        "bpe_token_estimate": _bpe_token_estimate,            # token budgets
         "event_sessionization": _event_sessionization,        # gap sessions
         "docs_above_source_avg": _docs_above_source_avg,      # broadcast dim join
         "event_props_extract": _event_props_extract,          # JSON extraction
@@ -675,6 +694,20 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    round(sum(value), 4) AS sum_value
             FROM events GROUP BY ROLLUP (event_type)
+        """,
+        "bpe_token_estimate": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z]+')) AS n_word_runs,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                       AS n_word_chars,
+                   len(regexp_extract_all(text, '[0-9]|[^A-Za-z0-9[:space:]]'))
+                       AS n_symbol_tokens,
+                   ceil(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                        / 4.0)::BIGINT
+                   + len(regexp_extract_all(text,
+                         '[0-9]|[^A-Za-z0-9[:space:]]'))
+                       AS est_bpe_tokens
+            FROM documents
         """,
         "event_sessionization": """
             SELECT user_id, session_idx, count(*) AS n_events,
