@@ -51,10 +51,9 @@ _GRAMS_SCHEMA = StructType(
     [
         StructField("image_id", StringType(), False),
         StructField("gram", LongType(), False),
+        StructField("is_anchor", BooleanType(), False),
     ]
 )
-
-_ANCHOR_SCHEMA = _GRAMS_SCHEMA
 
 _PAIRS_SCHEMA = StructType(
     [StructField("a", StringType(), False), StructField("b", StringType(), False)]
@@ -62,7 +61,7 @@ _PAIRS_SCHEMA = StructType(
 
 
 def _gram_hashes_one(text: bytes, q: int) -> np.ndarray:
-    """64-bit hashes of all q-byte grams in order, vectorized sliding window."""
+    """64-bit hashes of all q-byte grams in order (kept for tests/oracle)."""
     arr = np.frombuffer(text, dtype=np.uint8)
     if len(arr) < q:
         return np.empty(0, dtype=np.uint64)
@@ -80,8 +79,59 @@ def _winnowed(h: np.ndarray, w: int) -> np.ndarray:
     return np.unique(np.lib.stride_tricks.sliding_window_view(h, w).min(axis=1))
 
 
+def _batch_winnowed(
+    texts: list[bytes], q: int, w: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batch-vectorized winnowing → (doc_idx, gram, is_anchor) arrays.
+
+    One hash/window-min pass over the CONCATENATION of the batch's captions
+    (windows that cross document boundaries are computed but never indexed),
+    instead of a ~30-numpy-call chain per caption — the per-row call
+    overhead, not the hashing, dominated the r1 kernel. Dedup of (doc,
+    min-gram) pairs is a lexsort + adjacent-diff; the first row of each
+    doc's sorted block is its global-minimum gram = its containment ANCHOR
+    (eligibility len ≥ q+w−1 coincides with emitting ≥1 winnowed gram,
+    enforced against suffix_min_len by the caller's config check).
+    """
+    span = q + w - 1
+    lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    counts = np.maximum(lens - span + 1, 0)
+    total = int(counts.sum())
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, bool))
+    if total == 0:
+        return empty
+    buf = np.frombuffer(b"".join(texts), dtype=np.uint8)
+    nwin = len(buf) - q + 1
+    win = np.lib.stride_tricks.sliding_window_view(buf, q)
+    h = np.zeros(nwin, dtype=np.uint64)
+    for c in range(q):
+        h = splitmix64(h ^ win[:, c].astype(np.uint64))
+    # window-min over w consecutive grams: w-1 in-place minimums, no temps
+    l = nwin - w + 1
+    wmin = h[:l].copy()
+    for j in range(1, w):
+        np.minimum(wmin, h[j:j + l], out=wmin)
+    # ragged per-doc ranges of VALID window positions, fully vectorized
+    doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+    cum = np.cumsum(counts) - counts
+    pos = (np.arange(total, dtype=np.int64) - np.repeat(cum, counts)
+           + np.repeat(starts, counts))
+    mins = wmin[pos]
+    order = np.lexsort((mins, doc_idx))
+    d_s, m_s = doc_idx[order], mins[order]
+    keep = np.ones(total, dtype=bool)
+    keep[1:] = (d_s[1:] != d_s[:-1]) | (m_s[1:] != m_s[:-1])
+    d_k, m_k = d_s[keep], m_s[keep]
+    is_anchor = np.ones(len(d_k), dtype=bool)
+    is_anchor[1:] = d_k[1:] != d_k[:-1]  # first (= unsigned-min) gram per doc
+    return d_k, to_signed64(m_k), is_anchor
+
+
 def gram_index(sigs: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
-    """Winnowed gram index: one row per (doc, minimizer gram), exploded."""
+    """Winnowed gram index + anchors in ONE pass over the captions:
+    (image_id, gram, is_anchor) — is_anchor marks each eligible doc's
+    global-minimum gram (r1 ran a second full hashing pass for anchors)."""
     q, w, min_len = cfg.suffix_gram_q, cfg.suffix_window, cfg.suffix_min_len
     if min_len < q + w - 1:  # hard error: must survive python -O
         raise ValueError(
@@ -91,25 +141,18 @@ def gram_index(sigs: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFra
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            parts: list[np.ndarray] = []
-            rep_ids: list[str] = []
-            rep_counts: list[int] = []
-            for iid, norm in zip(pdf["image_id"], pdf["caption_norm"]):
-                b = norm.encode("utf-8")
-                g = _winnowed(_gram_hashes_one(b, q), w)
-                if not len(g):
-                    continue
-                parts.append(g)
-                rep_ids.append(iid)
-                rep_counts.append(len(g))
-            if not parts:
+            if not len(pdf):
                 continue
+            texts = [s.encode("utf-8") for s in pdf["caption_norm"]]
+            d_idx, grams, anchors = _batch_winnowed(texts, q, w)
+            if not len(d_idx):
+                continue
+            ids = pdf["image_id"].to_numpy()
             yield pd.DataFrame(
                 {
-                    "image_id": np.repeat(
-                        np.array(rep_ids, dtype=object), rep_counts
-                    ),
-                    "gram": to_signed64(np.concatenate(parts)),
+                    "image_id": ids[d_idx],
+                    "gram": grams,
+                    "is_anchor": anchors,
                 }
             )
 
@@ -122,52 +165,15 @@ def gram_index(sigs: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFra
     )
 
 
-def anchor_index(sigs: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
-    """One row per containment-eligible doc: its global-minimum gram.
-
-    Tiny (≤ one row per doc) — a second cheap hashing pass over captions
-    buys consuming the big winnowed index exactly ONCE downstream, with the
-    anchor side broadcast into the semi-join instead of checkpointing and
-    shuffling the full index.
-    """
-    q, w, min_len = cfg.suffix_gram_q, cfg.suffix_window, cfg.suffix_min_len
-    if min_len < q + w - 1:  # hard error: must survive python -O
-        raise ValueError(
-            "minimizer containment guarantee broken:"
-            f" suffix_min_len={min_len} < gram_q+window-1={q + w - 1}"
-        )
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids: list[str] = []
-            grams: list[int] = []
-            for iid, norm in zip(pdf["image_id"], pdf["caption_norm"]):
-                b = norm.encode("utf-8")
-                if len(b) < min_len:
-                    continue
-                h = _gram_hashes_one(b, q)
-                if len(h) < w:
-                    continue
-                ids.append(iid)
-                grams.append(int(to_signed64(h.min(keepdims=True))[0]))
-            yield pd.DataFrame({"image_id": ids, "gram": grams})
-
-    from dedup_spark.session import py_parallelism
-
-    return (
-        sigs.select("image_id", "caption_norm")
-        .coalesce(py_parallelism(sigs.sparkSession))
-        .mapInPandas(run, schema=_ANCHOR_SCHEMA)
-    )
-
-
 def containment_candidates(
     gram_df: DataFrame,
-    anchors: DataFrame,
     cfg: PipelineConfig = DEFAULT_CONFIG,
     group_cap: int = 1000,
 ) -> tuple[DataFrame, DataFrame]:
     """→ (group membership rows, skipped-group log).
+
+    ``gram_df`` must be MATERIALIZED (the caller checkpoints it): it is
+    consumed once for the anchor-key broadcast and once for the semi-join.
 
     Membership: (gram, image_id) — holders of each anchor gram (pattern
     docs are members of their own anchor group by construction: a doc's
@@ -178,10 +184,9 @@ def containment_candidates(
     At trillion-row scale the broadcast no longer fits and this becomes a
     plain shuffled semi-join — drop the hint, same plan shape.
     """
-    anchor_keys = anchors.select("gram").distinct()
+    anchor_keys = gram_df.where("is_anchor").select("gram").distinct()
     # checkpoint the PRUNED membership (a small fraction of the index): it
-    # is consumed twice below (size census + viable filter), and without a
-    # barrier each action would re-run the winnowing UDF end to end
+    # is consumed twice below (size census + viable filter)
     both = (
         gram_df.join(F.broadcast(anchor_keys), "gram", "left_semi")
         .select("gram", "image_id")
@@ -264,11 +269,11 @@ def containment_stage(
 ) -> tuple[DataFrame, DataFrame]:
     """sigs → (containment pairs (a,b), skipped-group log).
 
-    The big winnowed index is consumed exactly once (broadcast semi-join
-    against the tiny anchor table), so it is never checkpointed or shuffled
-    whole — see anchor_index.
+    The winnowing UDF runs ONCE (anchors ride along as a boolean column);
+    the materialized index then feeds both the anchor-key broadcast and the
+    membership semi-join. At trillion-row scale swap localCheckpoint for a
+    stage table (same lifecycle as the other checkpoints).
     """
-    gi = gram_index(sigs, cfg)
-    anchors = anchor_index(sigs, cfg)
-    membership, skipped = containment_candidates(gi, anchors, cfg, group_cap)
+    gi = gram_index(sigs, cfg).localCheckpoint()
+    membership, skipped = containment_candidates(gi, cfg, group_cap)
     return containment_pairs_df(membership, sigs, cfg), skipped

@@ -95,6 +95,16 @@ def get_spark(
         # 14.5s at 32 cores vs 2.2s at 8). 256-row batches → ~1.7s at 32.
         .config("spark.sql.parquet.columnarReaderBatchSize", "256")
     )
+    # shuffle files default to /tmp — a REAL shared disk on this host, a
+    # serial bottleneck no multi-executor cluster has (executors get local
+    # NVMe). Put shuffle+spill on the RAM disk when present; explicit
+    # spark.local.dir in extra_conf or SPARK_LOCAL_DIRS still wins.
+    if (
+        os.path.isdir("/dev/shm")
+        and "SPARK_LOCAL_DIRS" not in os.environ
+        and not (extra_conf or {}).get("spark.local.dir")
+    ):
+        b = b.config("spark.local.dir", f"/dev/shm/spark-local-{os.getpid()}")
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

@@ -41,3 +41,41 @@ def test_containment_min_len_gate():
 def test_suffix_array_empty():
     assert suffix_array(b"").tolist() == []
     assert len(suffix_array(bytes(np.zeros(5, dtype=np.uint8)))) == 5
+
+
+def test_batch_winnowed_matches_per_doc_reference():
+    """The batch-vectorized winnowing kernel (one pass over concatenated
+    captions) must equal the per-doc reference exactly, anchors included."""
+    import numpy as np
+    from dedup_spark.operators.containment import (
+        _batch_winnowed, _gram_hashes_one, _winnowed,
+    )
+    from dedup_spark.functions.hashing import to_signed64
+
+    rng = np.random.default_rng(13)
+    q, w = 24, 9
+    vocab = ["the", "a", "photo", "of", "cat", "dog", "run", "x", "zebra"]
+    texts = []
+    for i in range(200):
+        n = int(rng.integers(0, 30))
+        texts.append(" ".join(rng.choice(vocab, size=n).tolist()).encode())
+    texts += [b"", b"short", b"x" * (q + w - 2), b"y" * (q + w - 1)]
+
+    d_idx, grams, anchors = _batch_winnowed(texts, q, w)
+    got: dict[int, set] = {}
+    got_anchor: dict[int, int] = {}
+    for d, g, a in zip(d_idx, grams, anchors):
+        got.setdefault(int(d), set()).add(int(g))
+        if a:
+            assert int(d) not in got_anchor
+            got_anchor[int(d)] = int(g)
+
+    for i, t in enumerate(texts):
+        ref = _winnowed(_gram_hashes_one(t, q), w)
+        if not len(ref):
+            assert i not in got
+            continue
+        assert got[i] == set(int(x) for x in to_signed64(ref))
+        # anchor = signed value of the UNSIGNED-min gram hash
+        h = _gram_hashes_one(t, q)
+        assert got_anchor[i] == int(to_signed64(h.min(keepdims=True))[0])
