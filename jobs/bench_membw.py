@@ -1,0 +1,100 @@
+"""Host-interference microbenchmark (no Spark): quantifies how much the
+one-host substitution UNDERSTATES true N → 4N executor scaling.
+
+Runs the pipeline's own signature kernel (decode + DCT pHash over the
+synthetic rgb8 payloads — the same numpy work a t_sigs Python worker does)
+in K *independent processes simultaneously* (K = 1, 2, 4, 8, 16) and
+reports per-process throughput. On isolated executors per-process
+throughput would be constant; on this host it degrades because all
+processes share one memory subsystem — that degradation is exactly the
+bias that flatters the low-parallelism arm of the scaling benchmark and
+compresses the measured efficiency.
+
+Usage: python jobs/bench_membw.py [--images-per-proc 3000]
+Writes BENCH/membw.json and prints a summary line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import multiprocessing as mp
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+def _worker(n_images: int, seed: int, kernel: str, out_q: mp.Queue) -> None:
+    os.environ["OMP_NUM_THREADS"] = "1"
+    from dedup_spark.sources.gen_images import gen_local
+
+    pdf = gen_local(n_images, seed)
+    pdf = pdf[pdf["w"] > 0]
+    if kernel == "phash":
+        from dedup_spark.functions.phash import phash_batch
+
+        t0 = time.perf_counter()
+        _ = phash_batch(
+            pdf["fmt"].tolist(), pdf["bytes"].tolist(),
+            pdf["w"].tolist(), pdf["h"].tolist(),
+        )
+    else:  # winnow — the containment stage's gram kernel
+        from dedup_spark.operators.containment import _batch_winnowed
+
+        texts = [c.encode() for c in pdf["caption"]]
+        t0 = time.perf_counter()
+        for _ in range(10):  # captions are small; repeat for a stable clock
+            _batch_winnowed(texts, 24, 9)
+    out_q.put(time.perf_counter() - t0)
+
+
+def run_level(k: int, n_images: int, kernel: str) -> dict:
+    q: mp.Queue = mp.Queue()
+    procs = [
+        mp.Process(target=_worker, args=(n_images, 1000 + i, kernel, q))
+        for i in range(k)
+    ]
+    t0 = time.perf_counter()
+    for p in procs:
+        p.start()
+    times = [q.get() for _ in procs]
+    for p in procs:
+        p.join()
+    wall = time.perf_counter() - t0
+    per_proc = n_images / (sum(times) / len(times))
+    return {
+        "procs": k,
+        "wall_sec": round(wall, 2),
+        "mean_worker_sec": round(sum(times) / len(times), 2),
+        "images_per_sec_per_proc": round(per_proc, 1),
+    }
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--images-per-proc", type=int, default=20000)
+    p.add_argument("--kernel", choices=["phash", "winnow"], default="phash")
+    args = p.parse_args()
+    levels = [
+        run_level(k, args.images_per_proc, args.kernel)
+        for k in (1, 2, 4, 8, 16)
+    ]
+    base = levels[0]["images_per_sec_per_proc"]
+    for lv in levels:
+        lv["per_proc_vs_solo"] = round(
+            lv["images_per_sec_per_proc"] / base, 3
+        )
+    out = {"kernel": args.kernel, "levels": levels}
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", f"membw_{args.kernel}.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
