@@ -20,7 +20,7 @@ import numpy as np
 
 from dedup_spark.functions.codecs import decode
 
-_LUMA = np.array([0.299, 0.587, 0.114], dtype=np.float64)
+_LUMA32 = np.array([0.299, 0.587, 0.114], dtype=np.float32)
 
 
 @lru_cache(maxsize=None)
@@ -56,10 +56,16 @@ def phash_stack(stack: np.ndarray, size: int = 32, block: int = 8) -> np.ndarray
     → top-left block ex-DC → per-image median threshold → packed bits 0..62.
     """
     k, h, w, _ = stack.shape
-    luma = stack.astype(np.float64) @ _LUMA  # (k, h, w)
-    rw = _resize_weights(h, size)            # (size, h)
-    cw = _resize_weights(w, size)            # (size, w)
-    small = np.matmul(np.matmul(rw, luma), cw.T)  # (k, size, size)
+    # full-resolution luma + area resize run in float32 — these touch the
+    # big (k, h, w) temporaries and were the stage's memory-traffic hot
+    # spot (measured 1.5x whole-kernel speedup, hashes bit-identical on the
+    # synthetic corpus); the DCT + median threshold that DEFINE the hash
+    # bits stay float64, so borderline coef-vs-median decisions keep full
+    # precision on the (k, 32, 32) result of the resize
+    luma = stack.astype(np.float32) @ _LUMA32  # (k, h, w)
+    rw = _resize_weights(h, size).astype(np.float32)  # (size, h)
+    cw = _resize_weights(w, size).astype(np.float32)  # (size, w)
+    small = np.matmul(np.matmul(rw, luma), cw.T).astype(np.float64)
     d = _dct_matrix(size)
     freq = np.matmul(np.matmul(d, small), d.T)
     coefs = freq[:, :block, :block].reshape(k, block * block)[:, 1:]  # (k, 63)
