@@ -520,6 +520,21 @@ def _embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(e, q, dim=64, k=10, n_tables=16, bits=6)
 
 
+def _embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF coarse-quantizer ANN (operators.ann.ivf_topk): driver-trained
+    # bounded k-means, distributed assignment, nprobe probing, exact rerank.
+    # On this near-random corpus IVF needs a wide probe (12/32 lists ≈ 0.78
+    # recall); it beats LSH when the corpus is genuinely clustered — both
+    # scale paths are pinned in tests/test_ann.py
+    from dedup_spark.operators.ann import ivf_topk
+
+    e = _emb(spark, sf_dir).select("vec_id", F.col("embedding").alias("v"))
+    q = e.where("vec_id < 8").select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    return ivf_topk(e, q, dim=64, k=10, n_centroids=32, nprobe=12)
+
+
 def _lsh_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # B18 driver-visible row: the hot-bucket census the salting stage logs
     # (bucket_size, fanout, est_lost_pairs) over a planted hot-bucket input —
@@ -569,6 +584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_containment_pairs": _docs_containment_pairs,    # B21/B22
         "images_pipeline_report": _images_pipeline_report,    # full engine
         "embedding_lsh_ann": _embedding_lsh_ann,              # ANN scale path
+        "embedding_ivf_ann": _embedding_ivf_ann,              # ANN IVF path
         "images_resized_thumbs": _images_resized_thumbs,      # multimodal resize
         "image_feature_vectors": _image_feature_vectors,      # multimodal features
         "pixel_psnr_invariant": _pixel_psnr_invariant,        # B37 invariant

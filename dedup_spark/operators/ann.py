@@ -128,6 +128,97 @@ def _cosine(a: str, b: str):
     return dot / (na * nb)
 
 
+def _kmeans(sample: np.ndarray, n_centroids: int, iters: int = 15,
+            seed: int = ANN_SEED) -> np.ndarray:
+    """Deterministic mini k-means over L2-normalized sample rows (numpy).
+
+    The sample is BOUNDED (caller collects a fixed-size, deterministic
+    slice), so training is O(sample · centroids · iters) on the driver —
+    the standard IVF recipe: train small, assign distributed.
+    """
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    x = sample / np.maximum(norms, 1e-12)
+    rng = np.random.default_rng(seed)
+    c = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ c.T
+        assign = sims.argmax(axis=1)
+        for j in range(len(c)):
+            members = x[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                c[j] = m / max(np.linalg.norm(m), 1e-12)
+    return c
+
+
+def ivf_topk(
+    emb: DataFrame, queries: DataFrame, dim: int, k: int = 10,
+    n_centroids: int = 64, nprobe: int = 8, train_sample: int = 2048,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means coarse quantizer, cosine rerank.
+
+    - TRAIN: a deterministic bounded sample (lowest vec_ids) is collected
+      and k-means'd on the driver — fixed size regardless of corpus scale;
+    - ASSIGN: every data row hashes to its nearest centroid (one pandas-UDF
+      matmul per Arrow batch) — the inverted list key;
+    - PROBE: queries explode to their ``nprobe`` nearest centroids, join on
+      the list key (shuffle keyed on centroid id, never a cross join), and
+      candidates rerank by exact cosine to top-k.
+
+    Same output shape as brute_force_topk/lsh_topk so recall is comparable.
+    At 10^12 rows grow n_centroids ~ sqrt(N) and train on a bigger sample;
+    the per-list scan is N/n_centroids · nprobe per query.
+    """
+    sample_rows = (
+        _as_double(emb, "v").orderBy("vec_id").limit(train_sample).collect()
+    )
+    centroids = _kmeans(
+        np.array([r["v"] for r in sample_rows], dtype=np.float64), n_centroids
+    )
+
+    def _assign_udf(top: int):
+        @F.pandas_udf(ArrayType(LongType()))
+        def assign(vs: pd.Series) -> pd.Series:
+            arr = np.stack(vs.to_numpy())
+            arr = arr / np.maximum(
+                np.linalg.norm(arr, axis=1, keepdims=True), 1e-12
+            )
+            sims = arr @ centroids.T
+            idx = np.argsort(-sims, axis=1)[:, :top].astype(np.int64)
+            return pd.Series(list(idx))
+
+        return assign
+
+    data_b = _as_double(emb, "v").withColumn(
+        "cid", F.explode(_assign_udf(1)(F.col("v")))
+    )
+    query_b = _as_double(queries, "qv").withColumn(
+        "cid", F.explode(_assign_udf(nprobe)(F.col("qv")))
+    )
+    cand = (
+        query_b.select("query_id", "cid")
+        .join(data_b.select("vec_id", "cid"), "cid")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    scored = (
+        cand.join(_as_double(emb, "v"), "vec_id")
+        .join(_as_double(queries, "qv"), "query_id")
+        .select("query_id", "vec_id", _cosine("qv", "v").alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def brute_force_topk(
     emb: DataFrame, queries: DataFrame, k: int = 10
 ) -> DataFrame:

@@ -80,3 +80,39 @@ def test_brute_force_matches_duckdb_semantics(spark, emb):
         for r in brute_force_topk(emb, q, k=10).orderBy("rank").collect()
     ]
     assert got == [vid for vid, _ in want]
+
+
+def test_ivf_topk_recall_floor_on_corpus(spark, emb):
+    """IVF on the (near-random) driver corpus with a wide probe: measured
+    0.775 at (32 centroids, nprobe 12); pinned with slack."""
+    from dedup_spark.operators.ann import ivf_topk
+
+    q = emb.where("vec_id < 8").select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    exact = _pairs(brute_force_topk(emb, q, k=10))
+    approx = _pairs(ivf_topk(emb, q, dim=64, k=10, n_centroids=32, nprobe=12))
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.65, f"IVF ANN recall collapsed: {recall:.3f}"
+
+
+def test_ivf_topk_high_recall_on_clustered_data(spark):
+    """On genuinely clustered embeddings (IVF's home turf) a narrow probe
+    already recalls ≥0.9 of the exact top-k."""
+    import numpy as np
+    from dedup_spark.operators.ann import ivf_topk
+
+    rng = np.random.default_rng(77)
+    centers = rng.standard_normal((20, 64)) * 3.0
+    rows = []
+    for i in range(1000):
+        c = centers[i % 20]
+        rows.append((i, (c + rng.standard_normal(64) * 0.4).tolist()))
+    e = spark.createDataFrame(rows, "vec_id long, v array<double>").cache()
+    q = e.where("vec_id < 8").select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    exact = _pairs(brute_force_topk(e, q, k=10))
+    approx = _pairs(ivf_topk(e, q, dim=64, k=10, n_centroids=32, nprobe=4))
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"IVF recall on clustered data: {recall:.3f}"
