@@ -77,7 +77,7 @@ def srp_buckets(
         keys = np.concatenate(out, axis=1)              # (n, n_keys)
         return pd.Series(list(keys))
 
-    assert n_keys  # documents the fan-out for the caller
+    _ = n_keys  # fan-out per row: n_tables, or n_tables*(1+bits) when probing
     return df.withColumn("tb", F.explode(keys_udf(F.col(vec_col)))).select(
         *df.columns, "tb"
     )

@@ -22,50 +22,82 @@ from dedup_spark.config import DEFAULT_CONFIG, PipelineConfig
 
 
 def verify_pairs(
-    pairs: DataFrame, sigs: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG
+    pairs: DataFrame,
+    sigs: DataFrame,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    simhash_slack: int = 24,
 ) -> DataFrame:
-    sa = sigs.select(
-        F.col("image_id").alias("a"),
-        F.col("sha256").alias("sha_a"),
-        F.col("shingles").alias("sh_a"),
-        F.col("n_shingles").alias("ns_a"),
-        F.col("simhash").alias("sim_a"),
+    """Two-phase (r2): the shingle ARRAYS are the fat column of the sigs
+    table (~0.5 KB/row vs ~30 B of fixed-width signals), and shipping them
+    through both sides of the candidate join made this stage's shuffle
+    GC-bound and run-to-run unstable (measured 4s–44s for identical input).
+    Phase 1 joins only fixed-width columns and decides exact/simhash/phash;
+    phase 2 joins the arrays ONLY for pairs whose simhash distance makes
+    J >= threshold statistically possible (E[d] ≈ 10, sd ≈ 3 at J = 0.8;
+    ``simhash_slack`` = +5 sd) — the same layout rescue_verify_pairs uses.
+    Implausible pairs report jaccard 0.0 (they cannot pass the threshold);
+    all family decisions are unchanged.
+    """
+    slim = sigs.select("image_id", "sha256", "n_shingles", "simhash", "phash")
+    sa = slim.select(
+        F.col("image_id").alias("a"), F.col("sha256").alias("sha_a"),
+        F.col("n_shingles").alias("ns_a"), F.col("simhash").alias("sim_a"),
         F.col("phash").alias("ph_a"),
     )
-    sb = sigs.select(
-        F.col("image_id").alias("b"),
-        F.col("sha256").alias("sha_b"),
-        F.col("shingles").alias("sh_b"),
-        F.col("n_shingles").alias("ns_b"),
-        F.col("simhash").alias("sim_b"),
+    sb = slim.select(
+        F.col("image_id").alias("b"), F.col("sha256").alias("sha_b"),
+        F.col("n_shingles").alias("ns_b"), F.col("simhash").alias("sim_b"),
         F.col("phash").alias("ph_b"),
     )
-    j = pairs.join(sa, "a").join(sb, "b")
+    both_captioned = (F.col("ns_a") > 0) & (F.col("ns_b") > 0)
+    cheap = (
+        pairs.join(sa, "a").join(sb, "b")
+        .withColumn("hamming_sim", F.bit_count(F.expr("sim_a ^ sim_b")).cast("int"))
+        .withColumn("hamming_ph", F.bit_count(F.expr("ph_a ^ ph_b")).cast("int"))
+        .withColumn("f_exact", F.col("sha_a") == F.col("sha_b"))
+        .withColumn("both_captioned", both_captioned)
+        .select(
+            "a", "b", "hamming_sim", "hamming_ph", "f_exact", "both_captioned"
+        )
+        .localCheckpoint()  # consumed twice: plausible filter + final join
+    )
 
+    maybe = cheap.where(
+        F.col("both_captioned") & (F.col("hamming_sim") <= simhash_slack)
+    ).select("a", "b")
+    aa = sigs.select(
+        F.col("image_id").alias("a"), F.col("shingles").alias("sh_a"),
+        F.col("n_shingles").alias("ns_a"),
+    )
+    ab = sigs.select(
+        F.col("image_id").alias("b"), F.col("shingles").alias("sh_b"),
+        F.col("n_shingles").alias("ns_b"),
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.col("ns_a") + F.col("ns_b") - inter
-    jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
-        F.lit(0.0)
+    jac = F.when(
+        union > 0, inter.cast("double") / union.cast("double")
+    ).otherwise(F.lit(0.0))
+    jaccards = (
+        maybe.join(aa, "a").join(ab, "b").select("a", "b", jac.alias("jaccard"))
     )
-    both_captioned = (F.col("ns_a") > 0) & (F.col("ns_b") > 0)
-    ham_sim = F.bit_count(F.expr("sim_a ^ sim_b"))
-    ham_ph = F.bit_count(F.expr("ph_a ^ ph_b"))
 
     out = (
-        j.withColumn("jaccard", jac)
-        .withColumn("hamming_sim", ham_sim.cast("int"))
-        .withColumn("hamming_ph", ham_ph.cast("int"))
-        .withColumn("f_exact", F.col("sha_a") == F.col("sha_b"))
+        cheap.join(jaccards, ["a", "b"], "left")
+        .withColumn("jaccard", F.coalesce("jaccard", F.lit(0.0)))
         .withColumn(
             "f_minhash",
-            both_captioned & (F.col("jaccard") >= F.lit(cfg.jaccard_threshold)),
+            F.col("both_captioned")
+            & (F.col("jaccard") >= F.lit(cfg.jaccard_threshold)),
         )
         .withColumn(
             "f_simhash",
-            both_captioned
+            F.col("both_captioned")
             & (F.col("hamming_sim") <= F.lit(cfg.simhash_hamming_max)),
         )
-        .withColumn("f_phash", F.col("hamming_ph") <= F.lit(cfg.phash_hamming_max))
+        .withColumn(
+            "f_phash", F.col("hamming_ph") <= F.lit(cfg.phash_hamming_max)
+        )
     )
     out = out.withColumn(
         "verified",

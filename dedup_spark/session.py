@@ -109,7 +109,12 @@ def get_spark(
         b = b.config(k, v)
     spark = b.getOrCreate()
     if shuffle_partitions is None:
-        shuffle_partitions = max(spark.sparkContext.defaultParallelism, 8)
+        # 4x the cores, not 1x: several shuffles carry FAT rows (shingle
+        # arrays, band tables) where a 1-partition-per-core layout makes
+        # GB-scale tasks whose allocation spikes GC-thrash the shared local
+        # JVM (measured: t_verified 4.2s → 44s run-to-run at 16 cores).
+        # AQE coalesces the small ones back, so the extra split is ~free.
+        shuffle_partitions = max(4 * spark.sparkContext.defaultParallelism, 32)
     spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     spark.sparkContext.setLogLevel("WARN")
     return spark
