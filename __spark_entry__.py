@@ -535,6 +535,36 @@ def _embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, q, dim=64, k=10, n_centroids=32, nprobe=12)
 
 
+def _audio_feature_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # multimodal audio: deterministic synthetic rawpcm clips (seeded tones +
+    # noise, generated distributed via mapInPandas — no driver data) →
+    # loudness / zero-cross / spectral-centroid / clipping quality signals
+    # (operators.multimodal.audio_features; real codecs are registered
+    # behind the same decode signature in deployment)
+    from dedup_spark.operators.multimodal import audio_features, encode_rawpcm
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {"audio_id": [], "bytes": [], "fmt": []}
+            for i in pdf["id"]:
+                i = int(i)
+                rng = np.random.default_rng(i)
+                rate = 8000
+                t = np.arange(rate // 2) / rate
+                f = 100.0 + (i % 40) * 50.0
+                x = 0.4 * np.sin(2 * np.pi * f * t)
+                x = x + 0.05 * rng.standard_normal(len(t))
+                rows["audio_id"].append(f"a{i:05d}")
+                rows["bytes"].append(encode_rawpcm(np.clip(x, -1, 1), rate))
+                rows["fmt"].append("rawpcm")
+            yield pd.DataFrame(rows)
+
+    clips = spark.range(200).repartition(8).mapInPandas(
+        gen, schema="audio_id string, bytes binary, fmt string"
+    )
+    return audio_features(clips)
+
+
 def _lsh_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # B18 driver-visible row: the hot-bucket census the salting stage logs
     # (bucket_size, fanout, est_lost_pairs) over a planted hot-bucket input —
@@ -589,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_feature_vectors": _image_feature_vectors,      # multimodal features
         "pixel_psnr_invariant": _pixel_psnr_invariant,        # B37 invariant
         "lsh_skew_report": _lsh_skew_report,                  # B18 skew census
+        "audio_feature_signals": _audio_feature_signals,      # multimodal audio
     }
 
 

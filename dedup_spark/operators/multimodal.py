@@ -198,3 +198,87 @@ def encode_rawvid(frames: list[np.ndarray]) -> bytes:
     return head + b"".join(
         np.ascontiguousarray(f, dtype=np.uint8).tobytes() for f in frames
     )
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("audio_id", StringType(), False),
+        StructField("n_samples", IntegerType(), False),
+        StructField("duration_sec", DoubleType(), False),
+        StructField("rms", DoubleType(), False),
+        StructField("peak", DoubleType(), False),
+        StructField("zero_cross_rate", DoubleType(), False),
+        StructField("spectral_centroid_hz", DoubleType(), False),
+        StructField("clipping_ratio", DoubleType(), False),
+    ]
+)
+
+
+def decode_rawpcm(data: bytes) -> tuple[np.ndarray, int]:
+    """Deterministic audio container: 8-byte header (<u4 sample_rate,
+    <u4 n_samples) + mono int16 little-endian samples → (float samples in
+    [-1, 1], sample_rate). Real compressed codecs (mp3/flac/opus) are not
+    available in this sandbox; a deployment registers them behind this
+    same (bytes) → (samples, rate) signature."""
+    head = np.frombuffer(data[:8], dtype="<u4")
+    rate, n = int(head[0]), int(head[1])
+    samples = np.frombuffer(data[8 : 8 + 2 * n], dtype="<i2").astype(np.float64)
+    return samples / 32768.0, rate
+
+
+def encode_rawpcm(samples: np.ndarray, rate: int) -> bytes:
+    """Test helper: pack float samples in [-1, 1] into the rawpcm container."""
+    i16 = np.clip(np.round(samples * 32767.0), -32768, 32767).astype("<i2")
+    head = np.array([rate, len(i16)], dtype="<u4").tobytes()
+    return head + i16.tobytes()
+
+
+def audio_features(audio: DataFrame) -> DataFrame:
+    """(audio_id, bytes, fmt) → quality/feature signals per clip — the audio
+    analog of image_features for training-data curation: loudness (RMS,
+    peak), zero-crossing rate, FFT spectral centroid, and clipping ratio
+    (the standard cheap filters for junk audio). Map-only; bytes touched
+    once; all math vectorized numpy over the decoded batch.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {k: [] for k in (
+                "audio_id", "n_samples", "duration_sec", "rms", "peak",
+                "zero_cross_rate", "spectral_centroid_hz", "clipping_ratio",
+            )}
+            for aid, data, fmt in zip(pdf["audio_id"], pdf["bytes"], pdf["fmt"]):
+                if fmt != "rawpcm":
+                    raise NotImplementedError(
+                        f"audio codec {fmt!r} not available in this sandbox; "
+                        "register a decoder with the rawpcm signature"
+                    )
+                x, rate = decode_rawpcm(data)
+                n = len(x)
+                if n == 0:
+                    continue
+                spec = np.abs(np.fft.rfft(x))
+                freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+                power = spec.sum()
+                centroid = float((freqs * spec).sum() / power) if power > 0 else 0.0
+                out["audio_id"].append(aid)
+                out["n_samples"].append(n)
+                out["duration_sec"].append(round(n / rate, 6))
+                out["rms"].append(round(float(np.sqrt((x * x).mean())), 6))
+                out["peak"].append(round(float(np.abs(x).max()), 6))
+                out["zero_cross_rate"].append(
+                    round(float((np.diff(np.signbit(x)) != 0).mean()), 6)
+                )
+                out["spectral_centroid_hz"].append(round(centroid, 3))
+                out["clipping_ratio"].append(
+                    round(float((np.abs(x) >= 0.999).mean()), 6)
+                )
+            yield pd.DataFrame(out)
+
+    return audio.select(
+        audio.columns[0], "bytes", "fmt"
+    ).toDF("audio_id", "bytes", "fmt").mapInPandas(
+        run, schema=AUDIO_FEATURES_SCHEMA
+    )

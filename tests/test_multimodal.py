@@ -64,3 +64,44 @@ def test_sample_frames_unknown_codec_raises(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|not available"):
         sample_frames(df).collect()
+
+
+def test_audio_features_signal_properties(spark):
+    """Spectral centroid lands on a pure tone's frequency; clipping and
+    silence are flagged; non-sandbox codecs raise (documented stub)."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    from dedup_spark.operators.multimodal import (
+        audio_features, encode_rawpcm,
+    )
+
+    rate = 16000
+    t = np.arange(rate) / rate  # 1 second
+    tone = 0.5 * np.sin(2 * np.pi * 440.0 * t)
+    clipped = np.clip(2.0 * np.sin(2 * np.pi * 100.0 * t), -1, 1)
+    quiet = 0.001 * np.sin(2 * np.pi * 1000.0 * t)
+    rows = [
+        ("tone440", encode_rawpcm(tone, rate), "rawpcm"),
+        ("clipped", encode_rawpcm(clipped, rate), "rawpcm"),
+        ("quiet", encode_rawpcm(quiet, rate), "rawpcm"),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["audio_id", "bytes", "fmt"])
+    )
+    feats = {r.audio_id: r for r in audio_features(df).collect()}
+    assert abs(feats["tone440"].spectral_centroid_hz - 440.0) < 5.0
+    assert abs(feats["tone440"].rms - 0.5 / np.sqrt(2)) < 0.01
+    assert feats["tone440"].clipping_ratio == 0.0
+    assert feats["clipped"].clipping_ratio > 0.2
+    assert feats["quiet"].rms < 0.001
+    assert feats["tone440"].duration_sec == 1.0
+    # zero-cross rate of a 440 Hz tone ≈ 2*440/rate
+    assert abs(feats["tone440"].zero_cross_rate - 880 / rate) < 0.001
+
+    bad = spark.createDataFrame(
+        pd.DataFrame([("x", b"\x00" * 16, "mp3")],
+                     columns=["audio_id", "bytes", "fmt"])
+    )
+    with pytest.raises(Exception, match="rawpcm"):
+        audio_features(bad).collect()
