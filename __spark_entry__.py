@@ -565,6 +565,42 @@ def _audio_feature_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(clips)
 
 
+def _video_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # multimodal video: deterministic synthetic rawvid clips (seeded gradient
+    # frames, generated distributed via mapInPandas) → every-Nth-frame
+    # sampling through operators.multimodal.sample_frames (one binary row
+    # fans out to many frame rows). Frame payloads are projected to a
+    # digest scalar for the driver canonicalizer; the engine-internal
+    # schema keeps the raw frame bytes for downstream decode/phash.
+    from dedup_spark.operators.multimodal import encode_rawvid, sample_frames
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {"video_id": [], "bytes": [], "fmt": []}
+            for i in pdf["id"]:
+                i = int(i)
+                rng = np.random.default_rng(1000 + i)
+                n_frames, w, h = 24 + (i % 3) * 12, 32, 24
+                base = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                frames = [
+                    ((base.astype(np.int16) + 5 * k) % 256).astype(np.uint8)
+                    for k in range(n_frames)
+                ]
+                rows["video_id"].append(f"v{i:04d}")
+                rows["bytes"].append(encode_rawvid(frames))
+                rows["fmt"].append("rawvid")
+            yield pd.DataFrame(rows)
+
+    clips = spark.range(60).repartition(8).mapInPandas(
+        gen, schema="video_id string, bytes binary, fmt string"
+    )
+    frames = sample_frames(clips, every_n=12)
+    return frames.select(
+        "video_id", "frame_idx", "w", "h", "fmt",
+        F.md5(F.col("bytes")).alias("frame_digest"),
+    )
+
+
 def _lsh_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # B18 driver-visible row: the hot-bucket census the salting stage logs
     # (bucket_size, fanout, est_lost_pairs) over a planted hot-bucket input —
@@ -620,6 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pixel_psnr_invariant": _pixel_psnr_invariant,        # B37 invariant
         "lsh_skew_report": _lsh_skew_report,                  # B18 skew census
         "audio_feature_signals": _audio_feature_signals,      # multimodal audio
+        "video_frame_samples": _video_frame_samples,          # multimodal video
     }
 
 

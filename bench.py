@@ -59,7 +59,13 @@ def run_bench(cpus: int | None = None, sf_dir: str | None = None,
             print(f"  {name}: {timings[name]:.2f}s", file=sys.stderr)
 
     # -- flagship: full image dedup pipeline, images/sec ------------------
-    root = tempfile.mkdtemp(prefix="bench_images_")
+    # store on the RAM disk when present — same rationale as the shuffle
+    # dirs (session.py): the sandbox /tmp spinning disk serializes stage
+    # commits in a way a cluster's local NVMe / object store does not
+    root = tempfile.mkdtemp(
+        prefix="bench_images_",
+        dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
+    )
     try:
         from dedup_spark.plans.pipeline import run_pipeline
 

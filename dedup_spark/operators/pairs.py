@@ -85,6 +85,15 @@ def orphan_rescue_pairs(
     one or never co-bucket at all), and per-orphan work is capped, so the
     rescue pass is O(orphans · cap) — it buys back the last fraction of a
     percent of recall without reintroducing the quadratic bucket join.
+
+    Shuffle diet (r2): the salted band table is the fat input here, and the
+    r1 layout shuffled it three times (a sub-bucket-size window, an anti-join
+    against linked ids, then the member join). Orphan-ness is a property of
+    the IMAGE, not the band row, so orphan ids are computed on the thin
+    distinct image_id projection (map-side combine, ~n rows) and attached
+    back with one semi-join (AQE broadcasts the small orphan set); singleton
+    sub-buckets need no pre-filter — they cannot produce an (o != m) pair in
+    the member join. The big table crosses the wire once, on the bucket key.
     """
     ok = verified.where("verified")
     linked = (
@@ -93,9 +102,10 @@ def orphan_rescue_pairs(
         .distinct()
     )
     df = salted_bands.drop("hot") if "hot" in salted_bands.columns else salted_bands
-    sub = Window.partitionBy(*_SKEY)
-    multi = df.withColumn("bs", F.count("*").over(sub)).where(F.col("bs") > 1)
-    orphans = multi.join(linked, "image_id", "left_anti").select(
+    orphan_ids = df.select("image_id").distinct().join(
+        linked, "image_id", "left_anti"
+    )
+    orphans = df.join(orphan_ids, "image_id", "leftsemi").select(
         *_SKEY, F.col("image_id").alias("o")
     )
     members = df.select(*_SKEY, F.col("image_id").alias("m"))
