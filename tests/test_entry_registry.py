@@ -69,6 +69,10 @@ def test_sql_oracled_queries_match_duckdb(spark, duck, name):
 )
 def test_rows_only_queries_execute(spark, name):
     df = entrymod.queries()[name](spark, SF_DIR)
-    n = df.count()
-    assert n >= 0
-    assert len(df.columns) > 0
+    pdf = df.toPandas()
+    assert len(pdf.columns) > 0
+    # replicate the driver's canonicalizer: sort rows by every column. An
+    # array/list-valued column makes pandas sort_values raise (unhashable
+    # list in factorize) and the driver records the query as `err` forever
+    # (the r1 failure mode for docs_minhash_signatures/image_feature_vectors)
+    pdf.sort_values(by=list(pdf.columns))
