@@ -48,12 +48,27 @@ def run_pipeline(
     cfg: PipelineConfig = DEFAULT_CONFIG,
     recompute_phash: bool = True,
     input_token: str | None = None,
+    prior_sigs: DataFrame | None = None,
 ) -> PipelineRun:
     """``input_token`` names the input identity (Iceberg snapshot id, parquet
     path, or generator params). It is hashed into the resume fingerprint so a
     stage checkpointed against one input is never silently reused for another
     (B38 "input_snapshot"); None keeps the config-only key for callers that
-    manage input identity themselves."""
+    manage input identity themselves.
+
+    ``prior_sigs`` enables INCREMENTAL runs: pass a previous run's t_sigs
+    table and the signature stage decodes payloads ONLY for image_ids not
+    present in it; prior rows are reused (semi-joined against the current
+    snapshot, so deletes fall out too). Signature extraction is the one
+    stage that touches the payload bytes — at 100 TB it dominates the job —
+    so a nightly 1% append costs 1% of the decode work while every
+    downstream dedup stage still sees the full corpus (near-dup clusters
+    can span old and new rows, so banding onward always recomputes; those
+    stages are payload-free and cheap by comparison). Callers must fold the
+    prior run's identity into ``input_token``; signature-affecting config
+    changes are caught by the fingerprint as usual, and prior_sigs computed
+    under a different signature config must not be passed (same contract as
+    the reference's digest-cache invalidation)."""
     fp = cfg.fingerprint()
     if input_token is not None:
         import hashlib
@@ -81,12 +96,25 @@ def run_pipeline(
     # zero resume value (t_sigs is the first checkpoint that matters).
     from dedup_spark.operators.signatures import compute_signatures
 
-    t_sigs = stage(
-        "t_sigs",
-        lambda: compute_signatures(
-            validity.filter_valid(images), cfg, recompute_phash=recompute_phash
-        ),
-    )
+    def _sigs() -> DataFrame:
+        base = validity.filter_valid(images)
+        if prior_sigs is None:
+            return compute_signatures(base, cfg, recompute_phash=recompute_phash)
+        # incremental: decode only rows absent from the prior signature
+        # table; keep prior rows that still exist in the current snapshot.
+        # Both joins are on the thin id column — no payload crosses either.
+        prior_ids = prior_sigs.select("image_id")
+        fresh = compute_signatures(
+            base.join(prior_ids, "image_id", "left_anti"),
+            cfg,
+            recompute_phash=recompute_phash,
+        )
+        kept = prior_sigs.join(
+            images.select("image_id"), "image_id", "leftsemi"
+        )
+        return fresh.unionByName(kept)
+
+    t_sigs = stage("t_sigs", _sigs)
 
     # invalid-row diagnostics (S9 analog) by thin anti-join against the
     # signature ids: reads ONLY pruned metadata columns of the input — the

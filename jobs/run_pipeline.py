@@ -49,6 +49,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--shuffle-partitions", type=int, default=None)
     p.add_argument("--no-recompute-phash", action="store_true",
                    help="trust the input phash column instead of decoding pixels")
+    p.add_argument("--prior-store", default=None,
+                   help="incremental run: reuse t_sigs from this prior store "
+                        "root — payloads are decoded only for image_ids "
+                        "absent from it (appends); prior rows missing from "
+                        "the current input are dropped (deletes)")
     args = p.parse_args(argv)
 
     from dedup_spark.session import get_spark
@@ -81,10 +86,16 @@ def main(argv: list[str] | None = None) -> int:
         n_input = None
         input_token = f"table:{args.input}"
 
+    prior_sigs = None
+    if args.prior_store:
+        prior_sigs = spark.read.parquet(f"{args.prior_store}/t_sigs")
+        input_token = f"{input_token}|prior:{args.prior_store}"
+
     run = run_pipeline(
         spark, images, args.store_root, run_id=args.run_id,
         recompute_phash=not args.no_recompute_phash,
         input_token=input_token,
+        prior_sigs=prior_sigs,
     )
 
     elapsed = time.perf_counter() - t0
