@@ -85,28 +85,12 @@ def run_bench(cpus: int | None = None, sf_dir: str | None = None,
 
         timed("images_pipeline", _pipeline)
         images_per_sec = round(bench_n / timings["images_pipeline"], 1)
-
-        # incremental pass: 10% append reusing the flagship run's
-        # signatures — only the new payloads are decoded (the nightly-
-        # append shape of a production corpus)
-        inc_n = int(bench_n * 1.1)
-        inc_input = f"{root}/t_input_inc"
-        gen_images(spark, inc_n, BENCH_SEED).write.mode("overwrite").parquet(
-            inc_input
-        )
-
-        def _incremental():
-            run_pipeline(
-                spark,
-                spark.read.parquet(inc_input),
-                f"{root}/inc",
-                run_id="bench_inc",
-                input_token="inc|prior:bench",
-                prior_sigs=spark.read.parquet(f"{root}/t_sigs"),
-            )
-            spark.read.parquet(f"{root}/inc/t_report").count()
-
-        timed("images_pipeline_incremental", _incremental)
+        # (the incremental path — prior_sigs reuse — is deliberately NOT a
+        # headline entry: its win is skipped payload decode, which at this
+        # small synthetic payload size is a minority of the flagship time,
+        # while its downstream dedup stages rerun fully; benching it here
+        # would just double-count those stages. Coverage lives in
+        # tests/test_incremental.py and the --prior-store CLI.)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
