@@ -112,7 +112,46 @@ def run_pipeline(
         kept = prior_sigs.join(
             images.select("image_id"), "image_id", "leftsemi"
         )
+        _audit_prior_sigs(base, kept)
         return fresh.unionByName(kept)
+
+    def _audit_prior_sigs(base: DataFrame, kept: DataFrame, k: int = 64) -> None:
+        """Trust-but-verify for incremental reuse: re-decode a small
+        deterministic sample of REUSED rows and compare their signatures to
+        the prior table. Catches the silent-wrong-reuse footgun — prior
+        sigs computed under a different signature config (shingle/band/
+        hash knobs), or a corrupted prior table — at the cost of ~k payload
+        decodes, before a whole run is built on bad signatures. The analog
+        of the reference's digest-cache invalidation, enforced on data
+        rather than trusted metadata."""
+        cmp_cols = ["sha256", "simhash", "phash", "n_shingles"]
+        # literal id list, not a semi-join: a join filter does not reach the
+        # parquet scan, so the payload column of the WHOLE input would be
+        # read to audit 64 rows; an isin predicate pushes down to row-group
+        # pruning. 64 short strings on the driver is nothing.
+        ids = [
+            r.image_id
+            for r in kept.select("image_id").orderBy("image_id").limit(k).collect()
+        ]
+        if not ids:
+            return
+        redone = compute_signatures(
+            base.where(F.col("image_id").isin(ids)),
+            cfg,
+            recompute_phash=recompute_phash,
+        ).select("image_id", *[F.col(c).alias(f"new_{c}") for c in cmp_cols])
+        joined = kept.select("image_id", *cmp_cols).join(redone, "image_id")
+        differs = [
+            (F.col(c) != F.col(f"new_{c}")).cast("int") for c in cmp_cols
+        ]
+        bad = joined.where(sum(differs[1:], differs[0]) > 0).count()
+        if bad:
+            raise ValueError(
+                f"incremental audit failed: {bad}/{k} sampled prior "
+                "signatures do not match recomputation under the current "
+                "config — prior_sigs was built with a different signature "
+                "config or is corrupted; rerun from scratch"
+            )
 
     t_sigs = stage("t_sigs", _sigs)
 

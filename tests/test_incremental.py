@@ -52,21 +52,22 @@ def test_incremental_reuses_prior_rows_and_drops_deletes(spark, tmp_path):
     base_root = str(tmp_path / "base")
     run_pipeline(spark, old, base_root, run_id="b", input_token="old")
     prior = spark.read.parquet(f"{base_root}/t_sigs")
-    some_id = prior.select("image_id").orderBy("image_id").first().image_id
-
-    # poison one prior sha256: if the incremental stage recomputed payloads
-    # the poison would vanish; reuse means it must propagate verbatim
+    by_desc = [
+        r.image_id
+        for r in prior.select("image_id").orderBy(F.desc("image_id")).take(2)
+    ]
+    # poison an id OUTSIDE the k=64-ascending audit sample (the audit is
+    # deliberately a sample, not a full recheck): if the incremental stage
+    # recomputed payloads the poison would vanish; reuse means it must
+    # propagate verbatim
+    victim, some_id = by_desc  # delete the last id, poison the second-last
     poison = F.when(
         F.col("image_id") == some_id, F.lit("deadbeef")
     ).otherwise(F.col("sha256"))
     prior_poisoned = prior.withColumn("sha256", poison)
 
     # current snapshot: appends (250→350) AND a delete of one other old id
-    cur = gen_images(spark, N_NEW, SEED)
-    victim = (
-        prior.select("image_id").orderBy(F.desc("image_id")).first().image_id
-    )
-    cur = cur.where(F.col("image_id") != victim)
+    cur = gen_images(spark, N_NEW, SEED).where(F.col("image_id") != victim)
 
     inc_root = str(tmp_path / "inc")
     run_pipeline(
@@ -80,3 +81,29 @@ def test_incremental_reuses_prior_rows_and_drops_deletes(spark, tmp_path):
     assert sigs.where(F.col("image_id") == victim).count() == 0
     # appended rows got real signatures
     assert sigs.count() > N_OLD
+
+
+def test_incremental_audit_catches_drifted_prior(spark, tmp_path):
+    """Prior sigs that disagree with recomputation under the current config
+    (wrong shingle/hash knobs, corrupted table) must fail LOUDLY, not build
+    a run on bad signatures: the stage re-decodes a deterministic sample of
+    reused rows and compares."""
+    import pytest
+
+    old = gen_images(spark, N_OLD, SEED)
+    base_root = str(tmp_path / "base")
+    run_pipeline(spark, old, base_root, run_id="b", input_token="old")
+    prior = spark.read.parquet(f"{base_root}/t_sigs")
+    in_sample = prior.select("image_id").orderBy("image_id").first().image_id
+    drifted = prior.withColumn(
+        "sha256",
+        F.when(F.col("image_id") == in_sample, F.lit("deadbeef")).otherwise(
+            F.col("sha256")
+        ),
+    )
+    cur = gen_images(spark, N_NEW, SEED)
+    with pytest.raises(ValueError, match="incremental audit failed"):
+        run_pipeline(
+            spark, cur, str(tmp_path / "inc"), run_id="i",
+            input_token="cur|prior", prior_sigs=drifted,
+        )
