@@ -10,7 +10,9 @@ memory. The hybrid:
   partition — executor-side, memory-bounded by the threshold knob, NOT a
   driver collect). Replaces the r1 per-round driver loop whose ~6 barrier
   jobs made t_clusters the least-scalable stage in BENCH r1 (ratio 0.79 of
-  ideal 4.0 — it got *slower* with more cores).
+  ideal 4.0 — it got *slower* with more cores). r3: the task runs over
+  xxhash64 int64 endpoint codes, never strings, and min-id relabeling is
+  distributed — see ``_local_cc``.
 - above the threshold: DataFrame-iterative large-star/small-star (Kiveris
   et al., "Connected Components in MapReduce and Beyond", SoCC'14 — the
   standard O(log n)-round algorithm needing only groupBy/join per round).
@@ -70,15 +72,18 @@ def _fingerprint(edges: DataFrame) -> tuple:
     return (row["n"], row["h"])
 
 
-def _numpy_components(a: np.ndarray, b: np.ndarray) -> pd.DataFrame:
-    """Vectorized union-find over integer-coded edges → (node, min-root).
+def _numpy_components(
+    a: np.ndarray, b: np.ndarray, cols: tuple[str, str] = ("image_id", "cluster_id")
+) -> pd.DataFrame:
+    """Vectorized union-find over edges → (node, min-root), self rows dropped.
 
     O(E) per round, O(log n) rounds (pointer-jumping + per-edge min-root
-    linking via np.minimum.at); no python-level per-edge loop.
+    linking via np.minimum.at); no python-level per-edge loop. The min
+    ROOT per component is by np.unique order — lexicographic for strings,
+    numeric for int codes (callers relying on min-id semantics must pass
+    an order-preserving coding or relabel afterwards).
     """
     ids, codes = np.unique(np.concatenate([a, b]), return_inverse=True)
-    # np.unique sorts → code order == lexicographic id order, so the min
-    # CODE per component is the min image_id: root code = cluster id
     ca, cb = codes[: len(a)], codes[len(a):]
     parent = np.arange(len(ids), dtype=np.int64)
     for _ in range(64):
@@ -94,14 +99,54 @@ def _numpy_components(a: np.ndarray, b: np.ndarray) -> pd.DataFrame:
         if not live.any():
             break
         np.minimum.at(parent, hi[live], lo[live])
-    labeled = pd.DataFrame(
-        {"image_id": ids, "cluster_id": ids[parent[parent]]}
-    )
-    return labeled[labeled.image_id != labeled.cluster_id]
+    labeled = pd.DataFrame({cols[0]: ids, cols[1]: ids[parent[parent]]})
+    return labeled[labeled[cols[0]] != labeled[cols[1]]]
 
 
 def _local_cc(edges: DataFrame) -> DataFrame:
-    """Whole-graph union-find in one executor task (small/medium graphs)."""
+    """Whole-graph union-find in one executor task (small/medium graphs).
+
+    r3 revision (VERDICT r2 #3 — the last serial term): the single task no
+    longer touches the string ids at all. Shipping ~20M string pairs to one
+    worker and np.unique-ing 40M OBJECT-dtype values (Python-level compares)
+    was what made t_clusters a flat ~68s at n=3.2M regardless of cores.
+    Now:
+
+    1. endpoints are int64-coded JVM-side (``xxhash64``) — the single task
+       receives 16-byte int pairs (~20× smaller) and its np.unique runs in
+       C over int64;
+    2. the task emits (code, root_code) for non-root endpoints only;
+    3. min-image_id relabeling happens DISTRIBUTED: endpoint→code table
+       joins the root map, groupBy root takes min(image_id), join back —
+       three thin shuffles that scale with cores instead of one giant
+       serial string sort.
+
+    Hash-collision safety: two distinct ids mapping to one code would merge
+    two clusters silently, so the endpoint table's (distinct ids, distinct
+    codes) counts are compared — one cheap aggregate; on the astronomically
+    rare mismatch (p ≈ n²/2⁶⁵) this raises with instructions to take the
+    iterative path, which never codes ids. At 10^10+ nodes 64-bit coding
+    stops being collision-safe — but that regime exceeds ``local_threshold``
+    and runs the iterative path anyway.
+    """
+    coded = edges.select(
+        "a", "b", F.xxhash64("a").alias("ca"), F.xxhash64("b").alias("cb")
+    ).localCheckpoint()  # consumed twice: endpoint table + union-find input
+    ends = (
+        coded.select(F.col("a").alias("image_id"), F.col("ca").alias("code"))
+        .union(coded.select(F.col("b").alias("image_id"), F.col("cb").alias("code")))
+        .dropDuplicates(["image_id"])
+        .localCheckpoint()  # consumed twice: collision check + join
+    )
+    chk = ends.agg(
+        F.countDistinct("image_id").alias("n_ids"),
+        F.countDistinct("code").alias("n_codes"),
+    ).first()
+    if chk["n_ids"] != chk["n_codes"]:
+        raise RuntimeError(
+            "xxhash64 collision across node ids — rerun connected_components "
+            "with local_threshold=0 to use the id-preserving iterative path"
+        )
 
     def run(batches):
         frames = [pdf for pdf in batches if len(pdf)]
@@ -110,11 +155,20 @@ def _local_cc(edges: DataFrame) -> DataFrame:
             yield  # pragma: no cover — make `run` a generator
         df = pd.concat(frames, ignore_index=True)
         yield _numpy_components(
-            df["a"].to_numpy(), df["b"].to_numpy()
+            df["ca"].to_numpy(), df["cb"].to_numpy(), cols=("code", "root")
         )
 
-    return edges.repartition(1).mapInPandas(
-        run, schema="image_id string, cluster_id string"
+    roots = coded.select("ca", "cb").repartition(1).mapInPandas(
+        run, schema="code long, root long"
+    )
+    members = ends.join(roots, "code", "left").withColumn(
+        "root", F.coalesce("root", F.col("code"))
+    )
+    cmin = members.groupBy("root").agg(F.min("image_id").alias("cluster_id"))
+    return (
+        members.join(cmin, "root")
+        .select("image_id", "cluster_id")
+        .where(F.col("image_id") != F.col("cluster_id"))
     )
 
 
@@ -128,11 +182,11 @@ def connected_components(
 
     Every node appears exactly once; isolated nodes are their own cluster.
     ``local_threshold`` gates the single-task union-find: at the default,
-    ~20M edges of ~30-byte string ids is ≈ 1.2 GB resident in one task —
-    comfortable for any real executor profile (and measured: 2M edges
-    union-find in seconds at n=1.6M). Size down only for very small
+    ~20M int64-coded edges is ≈ 320 MB resident in one task — comfortable
+    for any real executor profile. Size down only for very small
     executors; above the gate the iterative star-contraction path takes
-    over (the path for edge sets that genuinely exceed worker memory).
+    over (the path for edge sets that genuinely exceed worker memory —
+    and for node counts where 64-bit id coding stops being collision-safe).
     """
     cur = (
         edges.select(
