@@ -179,16 +179,23 @@ def containment_candidates(
     docs are members of their own anchor group by construction: a doc's
     anchor is one of its own winnowed grams).
 
-    The anchor-key side is BROADCAST: one slim row per eligible doc, so at
-    sandbox scale the big winnowed index is never shuffled for this join.
-    At trillion-row scale the broadcast no longer fits and this becomes a
-    plain shuffled semi-join — drop the hint, same plan shape.
+    The anchor-key side is one slim row per eligible doc; while its row
+    count stays under ``cfg.containment_broadcast_max`` it is BROADCAST so
+    the big winnowed index is never shuffled for this join. Above the knob
+    (10^10+ docs — a broadcast of tens of GB would die at plan time) the
+    hint is dropped and the same join runs as a plain shuffled semi-join:
+    identical output, one extra shuffle of the index. The gate counts
+    anchor ROWS (no shuffle; distinct keys ≤ rows, so it is conservative)
+    on the caller-materialized gram_df.
     """
-    anchor_keys = gram_df.where("is_anchor").select("gram").distinct()
+    anchors = gram_df.where("is_anchor")
+    anchor_keys = anchors.select("gram").distinct()
+    if anchors.count() <= cfg.containment_broadcast_max:
+        anchor_keys = F.broadcast(anchor_keys)
     # checkpoint the PRUNED membership (a small fraction of the index): it
     # is consumed twice below (size census + viable filter)
     both = (
-        gram_df.join(F.broadcast(anchor_keys), "gram", "left_semi")
+        gram_df.join(anchor_keys, "gram", "left_semi")
         .select("gram", "image_id")
         .localCheckpoint()
     )
