@@ -27,6 +27,18 @@ def expected_len_col() -> Column:
     )
 
 
+def metadata_predicate() -> Column:
+    """The subset of validity decidable WITHOUT touching ``bytes``.
+
+    Evaluating the full predicate requires length(bytes) — a payload-column
+    scan. Callers that must classify rows cheaply at corpus scale (the
+    incremental reuse semi-join in plans.pipeline) use this: dimension /
+    codec invalidation is caught from pruned metadata columns only; the
+    payload-length check is left to the stages that read the payload anyway.
+    """
+    return (F.col("w") > 0) & (F.col("h") > 0) & (expected_len_col() >= 0)
+
+
 def valid_predicate() -> Column:
     return (
         (F.col("w") > 0)

@@ -68,7 +68,19 @@ def run_pipeline(
     prior run's identity into ``input_token``; signature-affecting config
     changes are caught by the fingerprint as usual, and prior_sigs computed
     under a different signature config must not be passed (same contract as
-    the reference's digest-cache invalidation)."""
+    the reference's digest-cache invalidation).
+
+    Incremental reuse contract (ADVICE r2): reused rows are re-filtered
+    against the METADATA validity predicates of the current snapshot (w/h/
+    fmt — validity.metadata_predicate), so a row whose metadata went invalid
+    drops out exactly as a from-scratch run would drop it. The payload-length
+    check cannot be applied to reused rows without re-scanning the payload
+    column of the whole corpus — the precise cost incremental mode exists to
+    avoid — so in-place PAYLOAD edits under an unchanged image_id are
+    UNSUPPORTED (the input is append/delete-only, the Iceberg snapshot
+    model); the sampled re-decode audit below fails loudly on systematic
+    drift, but a single silently edited payload outside the sample is not
+    detected."""
     fp = cfg.fingerprint()
     if input_token is not None:
         import hashlib
@@ -109,9 +121,13 @@ def run_pipeline(
             cfg,
             recompute_phash=recompute_phash,
         )
-        kept = prior_sigs.join(
-            images.select("image_id"), "image_id", "leftsemi"
-        )
+        # reuse filter: current-snapshot ids that still pass the PAYLOAD-FREE
+        # validity predicates (see docstring — the length(bytes) check would
+        # re-scan the corpus payload, defeating incremental). A prior row
+        # whose metadata went invalid in the current snapshot drops out here,
+        # matching the from-scratch run (ADVICE r2 medium).
+        kept_ids = images.where(validity.metadata_predicate()).select("image_id")
+        kept = prior_sigs.join(kept_ids, "image_id", "leftsemi")
         _audit_prior_sigs(base, kept)
         return fresh.unionByName(kept)
 
@@ -141,8 +157,12 @@ def run_pipeline(
             recompute_phash=recompute_phash,
         ).select("image_id", *[F.col(c).alias(f"new_{c}") for c in cmp_cols])
         joined = kept.select("image_id", *cmp_cols).join(redone, "image_id")
+        # eqNullSafe: plain != yields NULL when either side is NULL, which
+        # would drop the row from the summed indicator and let a nulled-out
+        # prior signature pass the audit silently (ADVICE r2)
         differs = [
-            (F.col(c) != F.col(f"new_{c}")).cast("int") for c in cmp_cols
+            (~F.col(c).eqNullSafe(F.col(f"new_{c}"))).cast("int")
+            for c in cmp_cols
         ]
         bad = joined.where(sum(differs[1:], differs[0]) > 0).count()
         if bad:

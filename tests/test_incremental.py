@@ -107,3 +107,33 @@ def test_incremental_audit_catches_drifted_prior(spark, tmp_path):
             spark, cur, str(tmp_path / "inc"), run_id="i",
             input_token="cur|prior", prior_sigs=drifted,
         )
+
+
+def test_incremental_drops_metadata_invalidated_rows(spark, tmp_path):
+    """A prior row whose CURRENT-snapshot metadata is invalid (w=0) must not
+    be reused: incremental semi-joins reuse against the payload-free
+    metadata validity predicates, so the run matches from-scratch, which
+    routes the row to t_invalid (ADVICE r2 medium)."""
+    old = gen_images(spark, N_OLD, SEED)
+    base_root = str(tmp_path / "base")
+    run_pipeline(spark, old, base_root, run_id="b", input_token="old")
+    prior = spark.read.parquet(f"{base_root}/t_sigs")
+    victim = prior.select("image_id").orderBy(F.desc("image_id")).first().image_id
+
+    cur = gen_images(spark, N_NEW, SEED).withColumn(
+        "w",
+        F.when(F.col("image_id") == victim, F.lit(0)).otherwise(F.col("w")),
+    )
+    inc_root = str(tmp_path / "inc")
+    run_pipeline(
+        spark, cur, inc_root, run_id="i", input_token="curm|prior",
+        prior_sigs=prior,
+    )
+    sigs = spark.read.parquet(f"{inc_root}/t_sigs")
+    assert sigs.where(F.col("image_id") == victim).count() == 0
+    invalid = spark.read.parquet(f"{inc_root}/t_invalid")
+    assert invalid.where(F.col("image_id") == victim).count() == 1
+
+    full_root = str(tmp_path / "full")
+    run_pipeline(spark, cur, full_root, run_id="f", input_token="curm")
+    assert _report(spark, inc_root).equals(_report(spark, full_root))
