@@ -253,6 +253,11 @@ def hamming_family_pairs(
         .agg(
             F.min_by("family", "hamming").alias("family"),
             F.min("hamming").cast("int").alias("hamming"),
-            F.min_by("spanning", "hamming").alias("spanning"),
+            # false if ANY contributing band verified the pair directly —
+            # NOT min_by(spanning, hamming): hamming distances are not
+            # comparable across families, so a family-A spanning edge with a
+            # smaller distance must not mask a family-B direct match
+            # (ADVICE r2)
+            F.min(F.col("spanning").cast("int")).cast("boolean").alias("spanning"),
         )
     )

@@ -15,10 +15,14 @@ are kept so the report can attribute why a pair clustered.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dedup_spark.config import DEFAULT_CONFIG, PipelineConfig
+
+log = logging.getLogger(__name__)
 
 
 def verify_pairs(
@@ -37,6 +41,12 @@ def verify_pairs(
     ``simhash_slack`` = +5 sd) — the same layout rescue_verify_pairs uses.
     Implausible pairs report jaccard 0.0 (they cannot pass the threshold);
     all family decisions are unchanged.
+
+    The slack gate is an approximation (simhash is a random projection: a
+    true J >= threshold pair with an atypical shingle count can land beyond
+    +5 sd), so its skip count is CENSUSED — one cheap count over the
+    checkpointed phase-1 frame, logged like the salting loss census
+    (operators.skew) — rather than silently assumed negligible (ADVICE r2).
     """
     slim = sigs.select("image_id", "sha256", "n_shingles", "simhash", "phash")
     sa = slim.select(
@@ -61,6 +71,16 @@ def verify_pairs(
         )
         .localCheckpoint()  # consumed twice: plausible filter + final join
     )
+
+    n_slack_skipped = cheap.where(
+        F.col("both_captioned") & (F.col("hamming_sim") > simhash_slack)
+    ).count()
+    if n_slack_skipped:
+        log.warning(
+            "verify slack gate: %d captioned pairs skipped Jaccard verify "
+            "(simhash distance > %d); their jaccard reports 0.0",
+            n_slack_skipped, simhash_slack,
+        )
 
     maybe = cheap.where(
         F.col("both_captioned") & (F.col("hamming_sim") <= simhash_slack)
