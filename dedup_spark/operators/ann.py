@@ -154,20 +154,26 @@ def _kmeans(sample: np.ndarray, n_centroids: int, iters: int = 15,
 def ivf_topk(
     emb: DataFrame, queries: DataFrame, dim: int, k: int = 10,
     n_centroids: int = 64, nprobe: int = 8, train_sample: int = 2048,
+    data_assign: int = 2,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: k-means coarse quantizer, cosine rerank.
 
     - TRAIN: a deterministic bounded sample (lowest vec_ids) is collected
       and k-means'd on the driver — fixed size regardless of corpus scale;
-    - ASSIGN: every data row hashes to its nearest centroid (one pandas-UDF
-      matmul per Arrow batch) — the inverted list key;
+    - ASSIGN: every data row posts to its ``data_assign`` nearest centroids
+      (one pandas-UDF matmul per Arrow batch) — multi-assignment: a row
+      near a Voronoi boundary lives in both adjacent lists, which is where
+      IVF recall dies on weakly clustered corpora. Measured on the driver's
+      near-random sf0.01 embeddings at (32 lists, nprobe 12): recall 0.775
+      with 1-assignment → 0.950 with 2-assignment, for 2× list storage and
+      ~2× rerank candidates (r3; pinned in tests/test_ann.py);
     - PROBE: queries explode to their ``nprobe`` nearest centroids, join on
       the list key (shuffle keyed on centroid id, never a cross join), and
       candidates rerank by exact cosine to top-k.
 
     Same output shape as brute_force_topk/lsh_topk so recall is comparable.
     At 10^12 rows grow n_centroids ~ sqrt(N) and train on a bigger sample;
-    the per-list scan is N/n_centroids · nprobe per query.
+    the per-list scan is N/n_centroids · nprobe · data_assign per query.
     """
     sample_rows = (
         _as_double(emb, "v").orderBy("vec_id").limit(train_sample).collect()
@@ -190,7 +196,7 @@ def ivf_topk(
         return assign
 
     data_b = _as_double(emb, "v").withColumn(
-        "cid", F.explode(_assign_udf(1)(F.col("v")))
+        "cid", F.explode(_assign_udf(data_assign)(F.col("v")))
     )
     query_b = _as_double(queries, "qv").withColumn(
         "cid", F.explode(_assign_udf(nprobe)(F.col("qv")))
