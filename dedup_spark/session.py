@@ -142,7 +142,22 @@ def py_parallelism(spark: SparkSession) -> int:
     measured at 4–6× more CPU per row (local[32]: 12.1s/stage at 32 workers
     vs 2.6s at 16 workers on this host). JVM-only stages are unaffected —
     cap only the UDF stages (coalesce, no shuffle), not spark.task.cpus.
+
+    The r3 boundary matrix (BENCH/profile_sigs_n800k.jsonl, fresh JVM per
+    point) confirms cores/2 is optimal at the deployment scales — 16c: 8
+    workers 25.3s vs 16 workers 39.0s; 32c: 16 workers 19.0s vs 32 workers
+    55.7s — while at ≤8 total cores workers=cores is ~1.6-1.8x faster
+    (4c: 40.4s vs 72.1s) because so few numpy workers leave the host's
+    memory path idle. The default deliberately stays cores/2 everywhere:
+    per-executor worker count must not depend on cluster size (the N vs 4N
+    scaling measurement runs the SAME job config at both parallelism
+    levels, as a real cluster would), and the production arm is where
+    throughput matters. Small-host users can override via the env knob
+    SPARK_GRAFT_UDF_TASKS (absolute task count, clamped to >= 1).
     """
+    env = os.environ.get("SPARK_GRAFT_UDF_TASKS", "").strip()
+    if env:
+        return max(int(env), 1)
     return max(spark.sparkContext.defaultParallelism // 2, 1)
 
 

@@ -63,3 +63,18 @@ def test_two_stores_identical_output(spark, tmp_path):
         run_pipeline(spark, images, root, run_id="d")
     r0, r1 = (_report(spark, r) for r in roots)
     assert r0.equals(r1)
+
+
+def test_udf_task_knob_overrides_core_rule(spark, monkeypatch):
+    """SPARK_GRAFT_UDF_TASKS pins pandas-UDF task concurrency (small-host
+    tune, BENCH/profile_sigs_n800k.jsonl); unset falls back to cores/2."""
+    from dedup_spark.session import py_parallelism
+
+    monkeypatch.delenv("SPARK_GRAFT_UDF_TASKS", raising=False)
+    assert py_parallelism(spark) == max(
+        spark.sparkContext.defaultParallelism // 2, 1
+    )
+    monkeypatch.setenv("SPARK_GRAFT_UDF_TASKS", "3")
+    assert py_parallelism(spark) == 3
+    monkeypatch.setenv("SPARK_GRAFT_UDF_TASKS", "0")
+    assert py_parallelism(spark) == 1
