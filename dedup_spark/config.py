@@ -68,9 +68,21 @@ class PipelineConfig:
     # --- winner selection: (prefix depth asc, image_id asc) ---
     winner_order: tuple = field(default=("depth", "image_id"))
 
+    # Knobs that only change the PHYSICAL plan (join strategy, parallelism),
+    # never any output value, are excluded from the resume fingerprint:
+    # toggling the advertised huge-corpus escape hatch must not invalidate
+    # every checkpoint and force a full recompute (ADVICE r3).
+    _PLAN_ONLY_KNOBS = frozenset({"containment_broadcast_max"})
+
     def fingerprint(self) -> str:
-        """sha256 of the canonical JSON of this config (resume safety key)."""
+        """sha256 of the canonical JSON of this config (resume safety key).
+
+        Plan-only knobs (``_PLAN_ONLY_KNOBS``) are excluded: both plan
+        shapes are tested output-identical (tests/test_suffix.py), so they
+        cannot affect what a checkpointed stage contains."""
         d = asdict(self)
+        for k in self._PLAN_ONLY_KNOBS:
+            d.pop(k, None)
         d["winner_order"] = list(d["winner_order"])
         blob = json.dumps(d, sort_keys=True, separators=(",", ":"))
         return hashlib.sha256(blob.encode("utf-8")).hexdigest()

@@ -78,7 +78,14 @@ def containment_pairs(
     ids: list[str], texts: list[str], min_len: int
 ) -> set[tuple[str, str]]:
     """All unordered cross-doc pairs where one text is a substring of the
-    other and the contained text has ≥ ``min_len`` characters.
+    other and the contained text has ≥ ``min_len`` CHARACTERS.
+
+    The length gate counts characters (len of the unencoded text), matching
+    SQL ``length()`` semantics in the DuckDB oracle twin — the suffix-array
+    machinery itself works over UTF-8 bytes, where multibyte characters only
+    make a text LONGER, so char-eligibility implies byte-eligibility for the
+    winnowed-anchor recall guarantee (ADVICE r3: a non-ASCII caption near
+    the boundary must not diverge engine vs oracle).
 
     Builds one suffix array over the NUL-joined corpus, then binary-searches
     each eligible doc's full text. Returns {(min_id, max_id), ...}.
@@ -99,7 +106,7 @@ def containment_pairs(
 
     out: set[tuple[str, str]] = set()
     for i, pat in enumerate(enc):
-        if len(pat) < min_len:
+        if len(texts[i]) < min_len:  # characters, not bytes (see docstring)
             continue
         lo = _lower_bound(corpus, sa, pat)
         hi = _upper_bound(corpus, sa, pat)

@@ -50,10 +50,17 @@ def test_cc_chain_and_star(spark):
     assert got["lonely"] == "lonely"
 
 
-@pytest.mark.parametrize("local_threshold", [0, 5_000_000])
-def test_cc_paths_agree(spark, local_threshold):
-    """The single-task union-find and the iterative large/small-star path
-    produce identical assignments (local_threshold=0 forces iteration)."""
+@pytest.mark.parametrize(
+    "small_threshold,local_threshold",
+    [
+        (1_000_000, 1_000_000),  # tiny-graph string path (r4 default here)
+        (0, 1_000_000),          # int64-coded single-task + distributed relabel
+        (0, 0),                  # iterative large-star/small-star
+    ],
+)
+def test_cc_paths_agree(spark, small_threshold, local_threshold):
+    """All three tiers (string union-find, coded union-find, iterative
+    star-contraction) produce identical assignments."""
     rng = np.random.default_rng(9)
     n = 120
     nodes = [f"n{i:03d}" for i in range(n)]
@@ -65,7 +72,8 @@ def test_cc_paths_agree(spark, local_threshold):
     e_df = spark.createDataFrame(pd.DataFrame(edges, columns=["a", "b"]))
     n_df = spark.createDataFrame(pd.DataFrame({"image_id": nodes}))
     out = connected_components(
-        e_df, n_df, local_threshold=local_threshold
+        e_df, n_df,
+        local_threshold=local_threshold, small_threshold=small_threshold,
     ).toPandas()
     got = dict(zip(out.image_id, out.cluster_id))
     g = nx.Graph()
@@ -73,6 +81,27 @@ def test_cc_paths_agree(spark, local_threshold):
     g.add_edges_from(edges)
     exp = {x: min(c) for c in nx.connected_components(g) for x in c}
     assert got == exp
+
+
+def test_cc_collision_falls_back_to_iterative(spark, monkeypatch):
+    """An id-hash collision in the coded path must not raise: the caller
+    falls back to the id-preserving iterative path automatically (ADVICE r3
+    — pipeline users cannot reach the local_threshold knob)."""
+    from dedup_spark.operators import cc as cc_mod
+
+    monkeypatch.setattr(cc_mod, "_ids_collide", lambda ends: True)
+    nodes = [f"m{i}" for i in range(6)]
+    edges = [("m0", "m1"), ("m1", "m2"), ("m4", "m5")]
+    e_df = spark.createDataFrame(pd.DataFrame(edges, columns=["a", "b"]))
+    n_df = spark.createDataFrame(pd.DataFrame({"image_id": nodes}))
+    out = connected_components(
+        e_df, n_df, small_threshold=0, local_threshold=1_000_000
+    ).toPandas()
+    got = dict(zip(out.image_id, out.cluster_id))
+    assert got == {
+        "m0": "m0", "m1": "m0", "m2": "m0",
+        "m3": "m3", "m4": "m4", "m5": "m4",
+    }
 
 
 def test_numpy_components_random_graphs():

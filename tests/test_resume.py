@@ -67,6 +67,15 @@ def test_config_change_invalidates_checkpoints(spark, first_run):
     )
 
 
+def test_plan_only_knobs_keep_fingerprint_stable():
+    """containment_broadcast_max only changes the physical join plan (both
+    shapes output-identical, tests/test_suffix.py) — toggling the huge-corpus
+    escape hatch must not invalidate checkpoints (ADVICE r3)."""
+    base = PipelineConfig().fingerprint()
+    assert PipelineConfig(containment_broadcast_max=0).fingerprint() == base
+    assert PipelineConfig(jaccard_threshold=0.9).fingerprint() != base
+
+
 def test_lineage_and_metrics_written(spark, first_run):
     root, _, _ = first_run
     with open(os.path.join(root, "t_lineage.jsonl")) as f:

@@ -38,6 +38,22 @@ def test_containment_min_len_gate():
     assert got == {("a", "b")}
 
 
+def test_containment_min_len_counts_characters_not_bytes():
+    """The length gate uses CHARACTER count (SQL length() semantics, matching
+    the DuckDB oracle twin), not UTF-8 byte count (ADVICE r3): a multibyte
+    caption under min_len chars must not sneak through on byte length."""
+    # 30 chars but 36 bytes in UTF-8 (six 2-byte é) — under min_len=32 chars
+    contained = "café " * 6  # "café " x6 = 30 chars
+    holder = "xx " + contained + " yy"
+    got = containment_pairs(["a", "b"], [contained, holder], min_len=32)
+    assert got == set()  # 30 chars < 32 even though 36 bytes >= 32
+    # at 32+ chars the same multibyte text pairs up
+    contained2 = contained + "!!"  # 32 chars
+    holder2 = "xx " + contained2 + " yy"
+    got2 = containment_pairs(["a", "b"], [contained2, holder2], min_len=32)
+    assert got2 == {("a", "b")}
+
+
 def test_suffix_array_empty():
     assert suffix_array(b"").tolist() == []
     assert len(suffix_array(bytes(np.zeros(5, dtype=np.uint8)))) == 5
