@@ -662,6 +662,56 @@ def _pipeline_resume_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # driver-visible ANN quality + cost row (VERDICT r3 #2/#6): recall of
+    # each approximate path vs the exact brute-force top-10, computed
+    # in-Spark over the same sf embeddings, PLUS the rerank cost (mean
+    # candidates per query) so the recall/cost trade of multi-probe and
+    # 2-way IVF assignment is pinned where the driver can see it — recall
+    # floors live in tests/test_ann.py, this makes them observable per run.
+    from dedup_spark.operators.ann import (
+        brute_force_topk, ivf_candidates, ivf_topk, lsh_candidates, lsh_topk,
+    )
+
+    e = _emb(spark, sf_dir).select("vec_id", F.col("embedding").alias("v"))
+    q = e.where("vec_id < 8").select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    exact = brute_force_topk(e, q, k=10).localCheckpoint()
+    n_exact = exact.count()
+    n_queries = exact.select("query_id").distinct().count()
+
+    paths = {
+        "srp_lsh": (
+            lsh_topk(e, q, dim=64, k=10, n_tables=16, bits=6),
+            lsh_candidates(e, q, dim=64, n_tables=16, bits=6),
+        ),
+        "ivf": (
+            ivf_topk(e, q, dim=64, k=10, n_centroids=32, nprobe=12),
+            ivf_candidates(e, q, dim=64, n_centroids=32, nprobe=12),
+        ),
+    }
+    data = []
+    for name, (topk, cand) in paths.items():
+        hits = topk.join(
+            exact, ["query_id", "neighbor_id"], "left_semi"
+        ).count()
+        n_cand = cand.count()
+        data.append(
+            (
+                name,
+                round(hits / n_exact, 4) if n_exact else 0.0,
+                n_queries,
+                round(n_cand / n_queries, 2) if n_queries else 0.0,
+            )
+        )
+    return spark.createDataFrame(
+        data,
+        "path string, recall double, n_queries long, "
+        "mean_candidates_per_query double",
+    )
+
+
 def _lsh_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # B18 driver-visible row: the hot-bucket census the salting stage logs
     # (bucket_size, fanout, est_lost_pairs) over a planted hot-bucket input —
@@ -716,6 +766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_feature_vectors": _image_feature_vectors,      # multimodal features
         "pixel_psnr_invariant": _pixel_psnr_invariant,        # B37 invariant
         "lsh_skew_report": _lsh_skew_report,                  # B18 skew census
+        "ann_recall_report": _ann_recall_report,              # ANN recall+cost
         "pipeline_resume_report": _pipeline_resume_report,    # B38 resume proof
         "audio_feature_signals": _audio_feature_signals,      # multimodal audio
         "video_frame_samples": _video_frame_samples,          # multimodal video

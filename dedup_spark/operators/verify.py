@@ -30,6 +30,7 @@ def verify_pairs(
     sigs: DataFrame,
     cfg: PipelineConfig = DEFAULT_CONFIG,
     simhash_slack: int = 24,
+    census: dict | None = None,
 ) -> DataFrame:
     """Two-phase (r2): the shingle ARRAYS are the fat column of the sigs
     table (~0.5 KB/row vs ~30 B of fixed-width signals), and shipping them
@@ -75,6 +76,10 @@ def verify_pairs(
     n_slack_skipped = cheap.where(
         F.col("both_captioned") & (F.col("hamming_sim") > simhash_slack)
     ).count()
+    if census is not None:
+        # out-param so the pipeline can persist the census into t_metrics
+        # (VERDICT r3 #5: logs die with the driver; metrics rows survive)
+        census["slack_skips"] = int(n_slack_skipped)
     if n_slack_skipped:
         log.warning(
             "verify slack gate: %d captioned pairs skipped Jaccard verify "

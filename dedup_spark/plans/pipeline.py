@@ -19,6 +19,7 @@ cheaper than a materialization barrier):
 from __future__ import annotations
 
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -100,6 +101,46 @@ def run_pipeline(
         run.results.append(res)
         return store.read(spark, name)
 
+    # Leaf DIAGNOSTIC stages (nothing downstream consumes them) run on a
+    # small thread pool, concurrent with the main chain (VERDICT r3 #3):
+    # Spark schedules jobs submitted from multiple threads task-by-task, so
+    # these thin jobs fill the executor slots the big stages leave idle at
+    # their tails instead of each paying a serial commit barrier — at 16
+    # cores the four diagnostics were ~8-9 s of the fixed residue that
+    # capped scaling efficiency at mid input sizes. Results are appended
+    # after the main chain finishes (stable submission order); any failure
+    # re-raises at the join point.
+    pool = ThreadPoolExecutor(max_workers=3)
+    async_stages: list[tuple[str, object]] = []  # (name, Future | StageResult)
+
+    def stage_async(name: str, compute, census=None) -> None:
+        """``census=(census_name, fn)`` additionally records
+        fn(committed_df) into t_metrics when the stage RAN (on a skip the
+        prior run's census row already stands — VERDICT r3 #5)."""
+        if store.is_done(name):
+            async_stages.append((name, StageResult(name, -1, skipped=True)))
+            return
+
+        def job() -> StageResult:
+            t0 = time.perf_counter()
+            res = store.write(name, compute())
+            if census is not None:
+                cname, fn = census
+                store.record_census(cname, fn(store.read(spark, name)), spark)
+            res.seconds = round(time.perf_counter() - t0, 2)
+            return res
+
+        async_stages.append((name, pool.submit(job)))
+
+    def join_async() -> None:
+        try:
+            for _, item in async_stages:
+                run.results.append(
+                    item if isinstance(item, StageResult) else item.result()
+                )
+        finally:
+            pool.shutdown(wait=True)
+
     # validity is a VIEW fused into the signature scan, never a materialized
     # stage: the bytes column is the dominant I/O at scale (input_hint rows
     # are mostly payload), so it must be read exactly once — by the signature
@@ -178,7 +219,7 @@ def run_pipeline(
     # invalid-row diagnostics (S9 analog) by thin anti-join against the
     # signature ids: reads ONLY pruned metadata columns of the input — the
     # payload is scanned exactly once in this pipeline, by t_sigs above
-    stage(
+    stage_async(
         "t_invalid",
         lambda: images.select("image_id", "w", "h", "fmt").join(
             t_sigs.select("image_id"), "image_id", "left_anti"
@@ -202,8 +243,14 @@ def run_pipeline(
         return salted
 
     t_salted = stage("t_salted", _salted)
-    stage(
-        "t_skew_report", lambda: skew.skew_report_from_salted(t_salted, cfg)
+    stage_async(
+        "t_skew_report",
+        lambda: skew.skew_report_from_salted(t_salted, cfg),
+        # durable approximation census: candidate pairs forfeited to salting
+        census=(
+            "salting_lost_pairs",
+            lambda out: out.agg(F.sum("est_lost_pairs")).collect()[0][0] or 0,
+        ),
     )
 
     # Hamming families (simhash, phash) verify EXACTLY inside their buckets —
@@ -225,13 +272,36 @@ def run_pipeline(
         return pair_df
 
     t_contain = stage("t_containment", _containment)
+    if run.ran("t_containment_skipped"):
+        # durable census: anchor-gram groups dropped by the group cap (when
+        # the nested stage itself was resumed, the prior census row stands)
+        skipped_rows = next(
+            r.rows for r in run.results if r.name == "t_containment_skipped"
+        )
+        store.record_census("containment_skipped_groups", skipped_rows, spark)
+    elif not any(
+        r.name == "t_containment_skipped" for r in run.results
+    ) and store.is_done("t_containment_skipped"):
+        # the nested stage only executes inside the parent's compute, so on
+        # a resume it never reaches run.results even though it exists in the
+        # store and was skipped — record the skip so resume reports are
+        # faithful (ADVICE r3)
+        run.results.append(StageResult("t_containment_skipped", -1, skipped=True))
 
+    slack_census: dict[str, int] = {}
     t_verified = stage(
         "t_verified",
         lambda: verify.verify_pairs(
-            pairs_op.union_pairs(t_cand, t_contain), t_sigs, cfg
+            pairs_op.union_pairs(t_cand, t_contain), t_sigs, cfg,
+            census=slack_census,
         ),
     )
+    if run.ran("t_verified"):
+        # durable census: captioned pairs the simhash slack gate kept away
+        # from the exact-Jaccard verify (approximation accounting)
+        store.record_census(
+            "verify_slack_skips", slack_census.get("slack_skips", 0), spark
+        )
 
     # orphan rescue (see operators.pairs): minhash-bucketed rows with
     # candidates but zero links anywhere get one capped exhaustive round.
@@ -279,7 +349,8 @@ def run_pipeline(
         return report_op.image_report(t_winners, sup)
 
     stage("t_report", _report)
-    stage("t_dir_report", lambda: report_op.dir_report(t_dup_dirs))
+    stage_async("t_dir_report", lambda: report_op.dir_report(t_dup_dirs))
+    join_async()
     return run
 
 

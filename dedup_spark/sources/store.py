@@ -23,11 +23,17 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import threading
 import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# Stage commits may run on a small thread pool (plans.pipeline runs leaf
+# diagnostic stages concurrently with the main chain); the only shared
+# mutable file is the lineage log, so serialize appends to it.
+_LINEAGE_LOCK = threading.Lock()
 
 
 @dataclass
@@ -93,8 +99,39 @@ class ParquetStore:
     # --- lineage + metrics ---
     def _append_lineage(self, manifest: dict) -> None:
         path = os.path.join(self.root, "t_lineage.jsonl")
-        with open(path, "a") as f:
+        with _LINEAGE_LOCK, open(path, "a") as f:
             f.write(json.dumps(manifest) + "\n")
+
+    def record_census(self, name: str, value: int, spark=None) -> None:
+        """One approximation-census row per run into t_metrics (VERDICT r3
+        #5): salting loss, verify slack-gate skips, containment skipped
+        groups. Logged censuses vanish with the driver; a metrics row
+        survives resume/remote runs, so the recall accounting is durable.
+        Schema matches the per-partition metrics rows (partition_id -1 marks
+        a run-level census)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        stage = f"census_{name}"
+        mdir = os.path.join(self.root, "t_metrics")
+        if os.path.isdir(self.root):
+            os.makedirs(mdir, exist_ok=True)
+            tbl = pa.table(
+                {
+                    "partition_id": pa.array([-1], pa.int32()),
+                    "rows_out": pa.array([int(value)], pa.int64()),
+                    "stage": pa.array([stage]),
+                    "run_id": pa.array([self.run_id]),
+                }
+            )
+            pq.write_table(tbl, os.path.join(mdir, f"{stage}-{self.run_id}.parquet"))
+            return
+        if spark is None:  # non-local root needs a session to append
+            raise ValueError("record_census on a non-local root requires spark")
+        spark.createDataFrame(
+            [(-1, int(value), stage, self.run_id)],
+            "partition_id int, rows_out long, stage string, run_id string",
+        ).write.mode("append").parquet(mdir)
 
     def lineage(self) -> list[dict]:
         path = os.path.join(self.root, "t_lineage.jsonl")
