@@ -225,7 +225,9 @@ def _lang_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.2
+) -> DataFrame:
     # n-gram Jaccard near-dup scan within each source bucket (B36 analog,
     # fully JVM-side: no UDF — higher-order functions build the 3-gram sets)
     d = _docs(spark, sf_dir).select("doc_id", "source", "text")
@@ -251,7 +253,7 @@ def _ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "a", "b",
             F.round(inter / union, 6).alias("jaccard"),
         )
-        .where(F.col("jaccard") >= 0.2)
+        .where(F.col("jaccard") >= threshold)
     )
 
 
@@ -374,6 +376,36 @@ def _event_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").cast("long").alias("sum_k"),
             F.max("k").cast("long").alias("max_k"),
         )
+    )
+
+
+def _docs_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # B34 made hash-matchable (r4): the connected-components OPERATOR itself
+    # run over a fully SQL-expressible edge set — the oracled n-gram Jaccard
+    # pairs — so the DuckDB twin (recursive min-label propagation) pins the
+    # operator's cluster assignments end-to-end, not just row counts.
+    # cluster_id = min doc_id of the component (the operator's relabel
+    # contract); isolated docs are their own cluster.
+    from dedup_spark.operators.cc import connected_components
+
+    # the operator contracts on STRING ids (its pipeline domain), so ids are
+    # cast; cluster_id = lexicographic min member id, and the oracle twin
+    # takes min over VARCHAR for the same ordering
+    # threshold 0.02 (vs the scan query's 0.2) so the oracle-scale edge set
+    # is dense enough to exercise transitive merges, not just single edges
+    edges = _ngram_jaccard_pairs(spark, sf_dir, threshold=0.02).select(
+        F.col("a").cast("string").alias("a"),
+        F.col("b").cast("string").alias("b"),
+    )
+    nodes = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("image_id")
+    )
+    lab = connected_components(edges, nodes)
+    w = Window.partitionBy("cluster_id")
+    return lab.select(
+        F.col("image_id").alias("doc_id"),
+        "cluster_id",
+        F.count("*").over(w).cast("long").alias("cluster_size"),
     )
 
 
@@ -754,6 +786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_estimate": _bpe_token_estimate,            # token budgets
         "event_sessionization": _event_sessionization,        # gap sessions
         "docs_above_source_avg": _docs_above_source_avg,      # broadcast dim join
+        "docs_cc_labels": _docs_cc_labels,                    # B34 CC hash-matched
         "event_props_extract": _event_props_extract,          # JSON extraction
         "docs_containment_pairs": _docs_containment_pairs,    # B21/B22 (oracled r3)
         # rows-only (UDF-bearing; correctness in pytest goldens)
@@ -934,6 +967,54 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT source, avg(n_chars) AS avg_chars
                   FROM documents GROUP BY source) s
               ON d.source = s.source
+        """,
+        # connected components as recursive min-label propagation over the
+        # same n-gram-Jaccard edge set the Spark query feeds the CC operator;
+        # walk() floods every component member's id through the (symmetric)
+        # edges, min() per node = component minimum = the operator's
+        # cluster_id contract. O(component_size^2) — oracle-scale only.
+        "docs_cc_labels": """
+            WITH RECURSIVE
+            g AS (
+                SELECT doc_id, source,
+                       list_distinct(list_transform(
+                           generate_series(1, len(string_split_regex(trim(text), '\\s+')) - 2),
+                           i -> array_to_string(list_slice(
+                               string_split_regex(trim(text), '\\s+'), i, i + 2), ' ')
+                       )) AS grams
+                FROM documents
+                WHERE len(string_split_regex(trim(text), '\\s+')) >= 3
+            ),
+            pairs AS (
+                SELECT a, b FROM (
+                    SELECT x.doc_id AS a, y.doc_id AS b,
+                           len(list_intersect(x.grams, y.grams)) * 1.0 /
+                           (len(x.grams) + len(y.grams)
+                            - len(list_intersect(x.grams, y.grams))) AS j
+                    FROM g x JOIN g y
+                      ON x.source = y.source AND x.doc_id < y.doc_id)
+                WHERE round(j, 6) >= 0.02
+            ),
+            edges AS (
+                SELECT CAST(a AS VARCHAR) AS src, CAST(b AS VARCHAR) AS dst
+                FROM pairs
+                UNION
+                SELECT CAST(b AS VARCHAR), CAST(a AS VARCHAR) FROM pairs
+            ),
+            walk (node, label) AS (
+                SELECT CAST(doc_id AS VARCHAR), CAST(doc_id AS VARCHAR)
+                FROM documents
+                UNION
+                SELECT e.dst, w.label
+                FROM walk w JOIN edges e ON w.node = e.src
+            ),
+            labels AS (
+                SELECT node AS doc_id, min(label) AS cluster_id
+                FROM walk GROUP BY node
+            )
+            SELECT doc_id, cluster_id,
+                   count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+            FROM labels
         """,
         "event_props_extract": """
             SELECT event_type, count(*) AS n,
