@@ -304,6 +304,34 @@ def _embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # embedding-cosine near-dup PAIRS (the dedup-family entry; embedding_topk
+    # is the search entry): all (a < b) with cosine >= 0.4. This oracled
+    # fixture runs the exact kernel — at sf0.01 the corpus is near-random
+    # (max pair cosine 0.51), angles where no honest LSH recalls 1.0 — so
+    # like ngram_jaccard_pairs it is an oracle-scale verification kernel,
+    # never a bench/headline path. The scale path for this family is
+    # operators.ann.lsh_candidates + exact rerank with the same threshold
+    # (recall/cost pinned by ann_recall_report and tests/test_ann.py).
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    x = e.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
+    y = e.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda p, q: p * q),
+        F.lit(0.0), lambda acc, z: acc + z,
+    )
+    na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda acc, z: acc + z * z))
+    nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda acc, z: acc + z * z))
+    cos = F.round(dot / (na * nb), 6)
+    return (
+        x.join(F.broadcast(y), F.col("a") < F.col("b"))
+        .select("a", "b", cos.alias("cosine"))
+        .where(F.col("cosine") >= 0.4)
+    )
+
+
 def _bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # BPE-ish token estimator: word runs count ~1 token per ~4 chars
     # (ceil), digits and punctuation 1 each — a standard cheap proxy for
@@ -783,6 +811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup_cube": _events_rollup_cube,            # B26 rollup
         "ngram_jaccard_pairs": _ngram_jaccard_pairs,          # near-dup scan
         "embedding_topk": _embedding_topk,                    # ANN baseline
+        "embedding_cosine_pairs": _embedding_cosine_pairs,    # cosine dup family
         "bpe_token_estimate": _bpe_token_estimate,            # token budgets
         "event_sessionization": _event_sessionization,        # gap sessions
         "docs_above_source_avg": _docs_above_source_avg,      # broadcast dim join
@@ -1034,6 +1063,15 @@ def oracle_sql() -> dict[str, str]:
             FROM n x JOIN n y ON x.id < y.id
             WHERE (length(x.norm) >= 32 AND contains(y.norm, x.norm))
                OR (length(y.norm) >= 32 AND contains(x.norm, y.norm))
+        """,
+        "embedding_cosine_pairs": """
+            SELECT a, b, cosine FROM (
+                SELECT x.vec_id AS a, y.vec_id AS b,
+                       round(list_cosine_similarity(
+                           x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 6)
+                           AS cosine
+                FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id)
+            WHERE cosine >= 0.4
         """,
         "embedding_topk": """
             WITH e AS (SELECT vec_id, embedding FROM embeddings),

@@ -78,10 +78,13 @@ def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--images-per-proc", type=int, default=20000)
     p.add_argument("--kernel", choices=["phash", "winnow"], default="phash")
+    p.add_argument(
+        "--levels", type=int, nargs="+", default=[1, 2, 4, 8, 16],
+        help="concurrent-process counts; 32 pins the local[32]-arm ceiling",
+    )
     args = p.parse_args()
     levels = [
-        run_level(k, args.images_per_proc, args.kernel)
-        for k in (1, 2, 4, 8, 16)
+        run_level(k, args.images_per_proc, args.kernel) for k in args.levels
     ]
     base = levels[0]["images_per_sec_per_proc"]
     for lv in levels:

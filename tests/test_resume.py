@@ -99,3 +99,29 @@ def test_lineage_and_metrics_written(spark, first_run):
         "census_containment_skipped_groups",
     }
     assert (census.rows_out >= 0).all()
+
+
+def test_async_stage_failure_surfaces_and_resumes(spark, tmp_path, monkeypatch):
+    """Leaf diagnostic stages run on a thread pool concurrent with the main
+    chain (r4); a failure there must re-raise at the join point — never be
+    swallowed — and a rerun must recompute ONLY the failed stage."""
+    import dedup_spark.operators.report as report_mod
+
+    root = str(tmp_path / "async_store")
+    images = gen_images(spark, N, 7)
+
+    real_dir_report = report_mod.dir_report
+
+    def boom(df):
+        raise RuntimeError("injected dir_report failure")
+
+    monkeypatch.setattr(report_mod, "dir_report", boom)
+    with pytest.raises(RuntimeError, match="injected dir_report failure"):
+        run_pipeline(spark, images, root, run_id="ar")
+    assert not os.path.exists(os.path.join(root, "t_dir_report.manifest.json"))
+
+    monkeypatch.setattr(report_mod, "dir_report", real_dir_report)
+    run2 = run_pipeline(spark, images, root, run_id="ar")
+    recomputed = {r.name for r in run2.results if not r.skipped}
+    assert recomputed == {"t_dir_report"}
+    assert spark.read.parquet(f"{root}/t_dir_report").count() >= 0
