@@ -69,6 +69,7 @@ def orphan_rescue_pairs(
     salted_bands: DataFrame,
     verified: DataFrame,
     per_orphan_cap: int = 4096,
+    node_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Second-chance candidates for rows the star pass failed to link.
 
@@ -102,9 +103,17 @@ def orphan_rescue_pairs(
         .distinct()
     )
     df = salted_bands.drop("hot") if "hot" in salted_bands.columns else salted_bands
-    orphan_ids = df.select("image_id").distinct().join(
-        linked, "image_id", "left_anti"
+    # r4: when the caller already holds the distinct node list (t_sigs ids —
+    # every signature emits >=1 band row, so the sets are identical), use it
+    # and skip a full hash-aggregate pass over the fat salted table (~50M
+    # band rows per 3.2M images; the agg is map-side combined but still
+    # scans and hashes every row — measured ~15-20 s of t_rescued at 16c)
+    universe = (
+        node_ids.select("image_id")
+        if node_ids is not None
+        else df.select("image_id").distinct()
     )
+    orphan_ids = universe.join(linked, "image_id", "left_anti")
     orphans = df.join(orphan_ids, "image_id", "leftsemi").select(
         *_SKEY, F.col("image_id").alias("o")
     )

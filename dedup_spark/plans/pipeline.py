@@ -318,7 +318,10 @@ def run_pipeline(
     t_rescued = stage(
         "t_rescued",
         lambda: verify.rescue_verify_pairs(
-            pairs_op.orphan_rescue_pairs(mh_salted, _judged()), t_sigs, cfg
+            pairs_op.orphan_rescue_pairs(
+                mh_salted, _judged(), node_ids=t_sigs.select("image_id")
+            ),
+            t_sigs, cfg,
         ),
     )
 
