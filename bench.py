@@ -51,13 +51,6 @@ def run_bench(cpus: int | None = None, sf_dir: str | None = None,
     reg = entrymod.queries()
     timings: dict[str, float] = {}
 
-    def timed(name: str, fn) -> None:
-        t0 = time.perf_counter()
-        fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        if not quiet:
-            print(f"  {name}: {timings[name]:.2f}s", file=sys.stderr)
-
     # -- flagship: full image dedup pipeline, images/sec ------------------
     # store on the RAM disk when present — same rationale as the shuffle
     # dirs (session.py): the sandbox /tmp spinning disk serializes stage
@@ -77,13 +70,27 @@ def run_bench(cpus: int | None = None, sf_dir: str | None = None,
             input_path
         )
 
+        # warm-up (VERDICT r4 #4): attempt 0 used to pay ~20 s of cold-JVM
+        # cost (BENCH_r04 attempts 58.4 vs 38.4 s) — JIT compilation of the
+        # stage plans, first Arrow batch, Python-UDF worker spawn, store
+        # init — so min() partly measured warm-up spread, not the engine.
+        # One UNTIMED tiny pipeline run exercises the exact same plans and
+        # code paths first; both timed attempts then run in a warm JVM and
+        # the attempt spread reflects real run-to-run noise.
+        warm_input = f"{root}/t_warm_input"
+        gen_images(spark, 2048, BENCH_SEED + 1).write.mode(
+            "overwrite"
+        ).parquet(warm_input)
+        run_pipeline(
+            spark, spark.read.parquet(warm_input), f"{root}/warmup",
+            run_id="warmup",
+        )
+        shutil.rmtree(f"{root}/warmup", ignore_errors=True)
+
         # best-of-2 (VERDICT r2 #8): single flagship runs on this host carry
         # a known JVM/GC noise window (1,879–2,068 img/s observed across r2
         # sweeps); two fresh-store runs and taking the min damps it. Both
-        # attempts are reported in the JSON (ADVICE r3): run 0 runs in a
-        # colder JVM (JIT/page cache), so min() partly measures warm-up —
-        # readers comparing across rounds where the protocol differed (r2
-        # was single-run) should compare attempt lists, not just the min.
+        # attempts are reported in the JSON (ADVICE r3).
         attempts = []
         for i in range(2):
             run_root = f"{root}/run{i}"
@@ -124,9 +131,28 @@ def run_bench(cpus: int | None = None, sf_dir: str | None = None,
         "embedding_lsh_ann",        # LSH-bucketed ANN scale path
         "docs_containment_pairs",   # suffix-array containment
     ]
+    # every multi-second query gets the flagship's best-of-2 protection
+    # (VERDICT r4 #1): in the driver's BENCH_r04 window the two single-run
+    # doc queries landed at ~2x the builder's same-code windows (11.73 /
+    # 10.98 s vs 5.84 / 4.83 s) and flipped the round's total — one JVM
+    # window must not be able to do that. Attempts are recorded in the
+    # JSON next to the flagship's.
+    best_of = {"docs_near_dup_clusters": 2, "docs_containment_pairs": 2}
+    query_attempts: dict[str, list[float]] = {}
     for name in headline:
-        timed(name, lambda n=name: reg[n](spark, sf_dir).write
-              .format("noop").mode("overwrite").save())
+        atts = []
+        for _ in range(best_of.get(name, 1)):
+            t0 = time.perf_counter()
+            reg[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            atts.append(round(time.perf_counter() - t0, 3))
+        timings[name] = min(atts)
+        if len(atts) > 1:
+            query_attempts[name] = atts
+        if not quiet:
+            label = f"best-of-{len(atts)} {atts} -> " if len(atts) > 1 else ""
+            print(f"  {name}: {label}{timings[name]:.2f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -138,9 +164,11 @@ def run_bench(cpus: int | None = None, sf_dir: str | None = None,
         "images_per_sec": images_per_sec,
         "bench_images": bench_n,
         "cpus": cpus,
-        # both flagship attempts, in run order (run 0 = colder JVM); the
-        # headline takes min() — see the comment at the flagship block
+        # both flagship attempts, in run order (post-warm-up, so spread =
+        # run-to-run noise); the headline takes min() — see flagship block
         "images_pipeline_attempts": attempts,
+        # best-of-2 attempts for the multi-second registry queries
+        "query_attempts": query_attempts,
     }
     spark.stop()
     return result

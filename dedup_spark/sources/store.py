@@ -71,13 +71,23 @@ class ParquetStore:
             and m.get("status") == "done"
         )
 
-    def write(self, name: str, df: DataFrame) -> StageResult:
-        """Materialize a stage idempotently; returns rows written."""
+    def write(self, name: str, df: DataFrame,
+              census: tuple | None = None) -> StageResult:
+        """Materialize a stage idempotently; returns rows written.
+
+        ``census=(census_name, fn)`` records ``fn(committed_df, rows)`` into
+        t_metrics BEFORE the manifest rename (ADVICE r4): "done" therefore
+        implies census-present, so a driver crash between the data commit and
+        the census can never leave a resumable stage whose approximation
+        accounting is permanently missing."""
         path = self._table_dir(name)
         df.write.mode("overwrite").parquet(path)
         spark = df.sparkSession
         out = spark.read.parquet(path)
         rows = self._write_metrics(name, out)
+        if census is not None:
+            cname, fn = census
+            self.record_census(cname, fn(out, rows), spark)
         manifest = {
             "stage": name,
             "run_id": self.run_id,
@@ -92,6 +102,11 @@ class ParquetStore:
         os.replace(tmp, self._manifest(name))
         self._append_lineage(manifest)
         return StageResult(name, rows, skipped=False)
+
+    def manifest_rows(self, name: str) -> int:
+        """Committed row count of a done stage (from its manifest)."""
+        with open(self._manifest(name)) as f:
+            return int(json.load(f).get("rows", -1))
 
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         return spark.read.parquet(self._table_dir(name))
@@ -132,6 +147,31 @@ class ParquetStore:
             [(-1, int(value), stage, self.run_id)],
             "partition_id int, rows_out long, stage string, run_id string",
         ).write.mode("append").parquet(mdir)
+
+    def has_census(self, name: str, spark: SparkSession | None = None) -> bool:
+        """Whether this run's census row for ``name`` is already durable.
+        Used by the resume path to backfill censuses for stores committed
+        by older code, where the manifest could predate the census row
+        (ADVICE r4 crash window — closed going forward by write() ordering)."""
+        stage = f"census_{name}"
+        mdir = os.path.join(self.root, "t_metrics")
+        if os.path.isdir(self.root):
+            return os.path.exists(
+                os.path.join(mdir, f"{stage}-{self.run_id}.parquet")
+            )
+        if spark is None:
+            return False
+        try:
+            return bool(
+                spark.read.parquet(mdir)
+                .where(
+                    (F.col("stage") == stage) & (F.col("run_id") == self.run_id)
+                )
+                .limit(1)
+                .count()
+            )
+        except Exception:
+            return False
 
     def lineage(self) -> list[dict]:
         path = os.path.join(self.root, "t_lineage.jsonl")
@@ -208,12 +248,16 @@ class IcebergStore(ParquetStore):
         super().__init__(root, run_id, fingerprint)
         self.catalog_ns = catalog_ns
 
-    def write(self, name: str, df: DataFrame) -> StageResult:
+    def write(self, name: str, df: DataFrame,
+              census: tuple | None = None) -> StageResult:
         tbl = f"{self.catalog_ns}.{name}"
         df.writeTo(tbl).createOrReplace()
         spark = df.sparkSession
         out = spark.read.table(tbl)
         rows = self._write_metrics(name, out)
+        if census is not None:  # same census-before-manifest contract
+            cname, fn = census
+            self.record_census(cname, fn(out, rows), spark)
         manifest = {
             "stage": name,
             "run_id": self.run_id,

@@ -86,12 +86,24 @@ def main() -> int:
     levels = [
         run_level(k, args.images_per_proc, args.kernel) for k in args.levels
     ]
-    base = levels[0]["images_per_sec_per_proc"]
-    for lv in levels:
-        lv["per_proc_vs_solo"] = round(
-            lv["images_per_sec_per_proc"] / base, 3
+    out = {"kernel": args.kernel, "images_per_proc": args.images_per_proc,
+           "levels": levels}
+    if args.levels[0] == 1:
+        base = levels[0]["images_per_sec_per_proc"]
+        for lv in levels:
+            lv["per_proc_vs_solo"] = round(
+                lv["images_per_sec_per_proc"] / base, 3
+            )
+    else:
+        # no solo baseline in this run (e.g. `--levels 32` ceiling-pinning):
+        # a retention ratio normalized against levels[0] would silently
+        # change meaning vs the default 1-proc-baseline runs it gets
+        # compared to, so record absolute per-proc rates only (ADVICE r4)
+        out["note"] = (
+            "no level-1 baseline in this run; per_proc_vs_solo omitted — "
+            "compare images_per_sec_per_proc against a same-window level-1 run"
         )
-    out = {"kernel": args.kernel, "levels": levels}
+        out["baseline_procs"] = args.levels[0]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", f"membw_{args.kernel}.json"), "w") as f:
         json.dump(out, f, indent=2)

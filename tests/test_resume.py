@@ -101,6 +101,77 @@ def test_lineage_and_metrics_written(spark, first_run):
     assert (census.rows_out >= 0).all()
 
 
+def test_census_backfill_on_skip(spark, tmp_path):
+    """ADVICE r4: censuses are now written BEFORE the stage manifest, so
+    'done' implies census-present for new stores. For stores committed by
+    older code (census after manifest — a crash window), the skip path
+    backfills a missing census from the committed table. Simulate the
+    legacy hole by deleting the census rows of a done store and resuming.
+    (Own store: the module fixture's store is rewritten under another
+    run_id by the config-change test, so skips there are order-dependent.)"""
+    root = str(tmp_path / "census_store")
+    images = gen_images(spark, 120, 7)
+    run_pipeline(spark, images, root, run_id="cb")
+    mdir = os.path.join(root, "t_metrics")
+    restorable = [
+        "census_salting_lost_pairs-cb.parquet",
+        "census_containment_skipped_groups-cb.parquet",
+    ]
+    before = spark.read.parquet(mdir).toPandas()
+    before = dict(
+        zip(before[before.partition_id == -1].stage,
+            before[before.partition_id == -1].rows_out)
+    )
+    for fname in restorable:
+        os.remove(os.path.join(mdir, fname))
+
+    run = run_pipeline(spark, images, root, run_id="cb")
+    assert all(r.skipped for r in run.results)
+
+    after = spark.read.parquet(mdir).toPandas()
+    after = dict(
+        zip(after[after.partition_id == -1].stage,
+            after[after.partition_id == -1].rows_out)
+    )
+    for fname in restorable:
+        stage = fname.rsplit("-", 1)[0]
+        assert after[stage] == before[stage], stage
+    # the verify slack census is only observable while the stage computes
+    # (census_on_skip=False) — still present because we did not delete it
+    assert "census_verify_slack_skips" in after
+
+
+def test_sync_stage_failure_reaps_async_pool(spark, tmp_path, monkeypatch):
+    """ADVICE r4: when a SYNCHRONOUS stage raises, the async diagnostic
+    pool must be reaped before the exception propagates — its non-daemon
+    workers must not keep running Spark jobs past the pipeline's death (the
+    old code never reached join_async() on this path). The already-submitted
+    async stages finish their commits (Spark jobs cannot be interrupted
+    mid-flight; waiting is the reap), then the primary error re-raises."""
+    import dedup_spark.operators.winners as winners_mod
+
+    root = str(tmp_path / "sync_fail_store")
+    images = gen_images(spark, N, 7)
+
+    def boom(df):
+        raise RuntimeError("injected winner failure")
+
+    monkeypatch.setattr(winners_mod, "select_winners", boom)
+    with pytest.raises(RuntimeError, match="injected winner failure"):
+        run_pipeline(spark, images, root, run_id="sf")
+    # by t_winners the early async diagnostics were already running; the
+    # failure path awaited them, so their commits are durable
+    for name in ["t_invalid", "t_skew_report"]:
+        assert os.path.exists(os.path.join(root, f"{name}.manifest.json")), name
+    assert not os.path.exists(os.path.join(root, "t_winners.manifest.json"))
+
+    monkeypatch.undo()
+    run2 = run_pipeline(spark, images, root, run_id="sf")
+    recomputed = {r.name for r in run2.results if not r.skipped}
+    # everything downstream of (and including) the failed stage recomputes
+    assert recomputed == {"t_winners", "t_dup_dirs", "t_report", "t_dir_report"}
+
+
 def test_async_stage_failure_surfaces_and_resumes(spark, tmp_path, monkeypatch):
     """Leaf diagnostic stages run on a thread pool concurrent with the main
     chain (r4); a failure there must re-raise at the join point — never be
