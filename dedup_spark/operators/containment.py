@@ -12,9 +12,10 @@ Distributed scheme (exact for contained captions ≥ suffix_min_len chars):
 2. pattern anchors equi-join the winnowed index: (A, B) co-occur on A's
    anchor key;
 3. each anchor-gram group (pattern docs + holder docs) goes through a
-   batched suffix-array UDF that builds ONE suffix array over the group's
-   NUL-joined captions and binary-searches each pattern doc
-   (functions.suffix) — emitting only true containments;
+   batched UDF that scans each pattern doc over the group's NUL-joined
+   captions with C memmem (_contained_pairs_find; property-tested identical
+   to the suffix-array reference kernel in functions.suffix) — emitting
+   only true containments;
 4. oversized groups (boilerplate grams) are capped and LOGGED, mirroring the
    LSH hot-bucket policy (operators.skew).
 
@@ -45,7 +46,6 @@ from pyspark.sql.types import (
 from dedup_spark.config import DEFAULT_CONFIG, PipelineConfig
 from dedup_spark.functions.hashing import to_signed64
 from dedup_spark.functions.minhash import splitmix64
-from dedup_spark.functions.suffix import containment_pairs
 
 _GRAMS_SCHEMA = StructType(
     [
@@ -169,6 +169,7 @@ def containment_candidates(
     gram_df: DataFrame,
     cfg: PipelineConfig = DEFAULT_CONFIG,
     group_cap: int = 1000,
+    n_docs_hint: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """→ (group membership rows, skipped-group log).
 
@@ -184,13 +185,22 @@ def containment_candidates(
     the big winnowed index is never shuffled for this join. Above the knob
     (10^10+ docs — a broadcast of tens of GB would die at plan time) the
     hint is dropped and the same join runs as a plain shuffled semi-join:
-    identical output, one extra shuffle of the index. The gate counts
-    anchor ROWS (no shuffle; distinct keys ≤ rows, so it is conservative)
-    on the caller-materialized gram_df.
+    identical output, one extra shuffle of the index. The gate bounds
+    anchor rows from above — by ``n_docs_hint`` (≤ 1 anchor per doc) when
+    the caller supplies it, else by counting anchor rows on the
+    caller-materialized gram_df; distinct keys ≤ rows either way, so the
+    gate is conservative (it can only fall back to the shuffle plan early,
+    never broadcast something oversized).
     """
     anchors = gram_df.where("is_anchor")
     anchor_keys = anchors.select("gram").distinct()
-    if anchors.count() <= cfg.containment_broadcast_max:
+    if n_docs_hint is None:
+        # anchors ≤ 1 per doc, so the doc count bounds the broadcast size
+        # from above without scanning the 150M-row index (the old
+        # anchors.count() action cost ~8 s per arm at n=6.4M); sigs is a
+        # committed stage table, so its count is a footer-metadata job
+        n_docs_hint = gram_df.where("is_anchor").count()
+    if n_docs_hint <= cfg.containment_broadcast_max:
         anchor_keys = F.broadcast(anchor_keys)
     # checkpoint the PRUNED membership (a small fraction of the index): it
     # is consumed twice below (size census + viable filter)
@@ -211,15 +221,70 @@ def containment_candidates(
     return kept, skipped
 
 
+def _contained_pairs_find(
+    ids: list[str],
+    texts: list[str],
+    min_len: int,
+    enc_cache: dict[str, bytes] | None = None,
+) -> set[tuple[str, str]]:
+    """Cross-doc containment pairs of ONE anchor group via C memmem.
+
+    Semantics identical to functions.suffix.containment_pairs (the
+    suffix-array reference kernel; pinned by a hypothesis test): all
+    unordered (min_id, max_id) pairs where one text is a substring of the
+    other and the contained text has ≥ min_len CHARACTERS. One bytes.find
+    pass per pattern over the group's NUL-joined corpus, jumping to the next
+    doc boundary after each hit, so a pattern costs ≤ holders+1 finds.
+    Byte-level find is char-exact on UTF-8 (self-synchronizing: a byte match
+    of a valid sequence cannot start mid-codepoint).
+    """
+    m = len(ids)
+    if m < 2:
+        return set()
+    if enc_cache is None:
+        enc_cache = {}
+    enc = []
+    for t in texts:
+        e = enc_cache.get(t)
+        if e is None:
+            e = t.encode("utf-8")
+            enc_cache[t] = e
+        enc.append(e)
+    starts = np.empty(m + 1, dtype=np.int64)
+    pos = 0
+    for j, e in enumerate(enc):
+        starts[j] = pos
+        pos += len(e) + 1
+    starts[m] = pos
+    corpus = b"\x00".join(enc)
+    clen = len(corpus)
+    out: set[tuple[str, str]] = set()
+    for i in range(m):
+        if len(texts[i]) < min_len:  # characters, not bytes
+            continue
+        pat = enc[i]
+        p = corpus.find(pat)
+        while p >= 0:
+            j = int(np.searchsorted(starts, p, side="right")) - 1
+            if j != i:
+                a, b = ids[i], ids[j]
+                out.add((a, b) if a < b else (b, a))
+            nxt = int(starts[j + 1])  # skip the rest of holder doc j
+            if nxt >= clen:
+                break
+            p = corpus.find(pat, nxt)
+    return out
+
+
 def containment_pairs_df(
     membership: DataFrame, sigs: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG
 ) -> DataFrame:
-    """Suffix-array pass over each anchor-gram group → (a, b).
+    """Containment scan over each anchor-gram group → (a, b).
 
     NOT applyInPandas: per-group grouped-map pays Arrow + pandas setup for
-    every group, and anchor groups are tiny and numerous (tens of thousands
-    of 2–15 member groups), so the fixed per-group cost dwarfs the actual
-    suffix-array work by ~30×. Instead: repartition on gram, sort within
+    every group, and anchor groups are tiny and numerous (~1.17M 2–15 member
+    groups at n=6.4M), so the fixed per-group cost dwarfs the actual
+    matching work by ~30×. Instead: repartition on gram, sort within
     partitions, and run ONE mapInPandas whose batches each carry many
     complete groups — the group that straddles a batch boundary is carried
     into the next batch (batches of one partition arrive in order).
@@ -230,19 +295,34 @@ def containment_pairs_df(
     )
 
     def emit(pdf: pd.DataFrame) -> pd.DataFrame:
-        out_a: list[str] = []
-        out_b: list[str] = []
-        for _, grp in pdf.groupby("gram", sort=False):
-            uniq = grp.drop_duplicates("image_id")
-            if len(uniq) < 2:
+        # Anchor groups are tiny and NUMEROUS (~1.17M groups at n=6.4M): a
+        # per-group pandas groupby + prefix-doubling suffix array spent
+        # ~3.8 ms/group in pure call overhead — 75% of the whole stage at 16
+        # cores (BENCH/profile_containment_16c_6400k.json). The group scan is
+        # now numpy boundary slicing over the gram-sorted batch, and matching
+        # is the C-memmem kernel (_contained_pairs_find, property-tested
+        # identical to the suffix-array reference kernel).
+        grams = pdf["gram"].to_numpy()
+        ids = pdf["image_id"].tolist()
+        texts = pdf["caption_norm"].tolist()
+        bounds = np.flatnonzero(np.r_[True, grams[1:] != grams[:-1], True])
+        out: set[tuple[str, str]] = set()
+        enc_cache: dict[str, bytes] = {}
+        for g in range(len(bounds) - 1):
+            i0, i1 = int(bounds[g]), int(bounds[g + 1])
+            if i1 - i0 < 2:
                 continue
-            pairs = containment_pairs(
-                uniq["image_id"].tolist(), uniq["caption_norm"].tolist(), min_len
+            # (gram, image_id) rows are distinct by construction (the index
+            # dedups per-doc grams), so members need no within-group dedupe
+            out |= _contained_pairs_find(
+                ids[i0:i1], texts[i0:i1], min_len, enc_cache
             )
-            for a, b in pairs:
-                out_a.append(a)
-                out_b.append(b)
-        return pd.DataFrame({"a": out_a, "b": out_b})
+        if not out:
+            return pd.DataFrame({"a": pd.Series(dtype=object),
+                                 "b": pd.Series(dtype=object)})
+        arr = sorted(out)
+        return pd.DataFrame({"a": [p[0] for p in arr],
+                             "b": [p[1] for p in arr]})
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry: pd.DataFrame | None = None
@@ -282,5 +362,7 @@ def containment_stage(
     stage table (same lifecycle as the other checkpoints).
     """
     gi = gram_index(sigs, cfg).localCheckpoint()
-    membership, skipped = containment_candidates(gi, cfg, group_cap)
+    membership, skipped = containment_candidates(
+        gi, cfg, group_cap, n_docs_hint=sigs.count()
+    )
     return containment_pairs_df(membership, sigs, cfg), skipped

@@ -29,6 +29,37 @@ def test_containment_matches_bruteforce(docs):
     assert got == exp
 
 
+@given(st.lists(texts, min_size=2, max_size=8))
+@settings(max_examples=150, deadline=None)
+def test_memmem_kernel_matches_suffix_array_kernel(docs):
+    """The C-memmem group kernel (operators.containment._contained_pairs_find,
+    the production UDF path since r5) must emit exactly the suffix-array
+    reference kernel's pairs on arbitrary doc sets."""
+    from dedup_spark.operators.containment import _contained_pairs_find
+
+    ids = [f"d{i:02d}" for i in range(len(docs))]
+    assert _contained_pairs_find(ids, docs, 3) == containment_pairs(
+        ids, docs, min_len=3
+    )
+
+
+def test_memmem_kernel_multibyte_and_dup_texts():
+    """Char-length gate + identical texts + multibyte chars through the
+    memmem kernel (same fixtures as the suffix-array kernel's gate tests)."""
+    from dedup_spark.operators.containment import _contained_pairs_find
+
+    contained = "café " * 6  # 30 chars, 36 UTF-8 bytes
+    holder = "xx " + contained + " yy"
+    assert _contained_pairs_find(["a", "b"], [contained, holder], 32) == set()
+    c2 = contained + "!!"
+    assert _contained_pairs_find(["a", "b"], [c2, "xx " + c2 + " yy"], 32) == {
+        ("a", "b")
+    }
+    # identical texts contain each other: one unordered pair
+    t = "twelve chars! twelve chars! twelve!"
+    assert _contained_pairs_find(["b", "a"], [t, t], 12) == {("a", "b")}
+
+
 def test_containment_min_len_gate():
     got = containment_pairs(["a", "b"], ["short", "short and longer"], min_len=12)
     assert got == set()
